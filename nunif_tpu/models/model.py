@@ -1,0 +1,106 @@
+"""Model base classes.
+
+TPU-native re-design of the reference's model contract
+(reference: nunif/models/model.py:7-123).
+
+Differences from the reference, by design:
+  * Models are flax.linen Modules — pure functions of (params, inputs). The
+    hyperparameters ARE the dataclass fields, so kwargs capture (the
+    reference's ``register_kwargs``) is automatic: ``model_kwargs(m)``
+    reads the dataclass fields back for self-describing checkpoints.
+  * Layout is NHWC (TPU conv layout), not NCHW.
+  * The I2I tile contract exposes *static* valid tile sizes so XLA compiles
+    one program per (tile, batch) bucket instead of the reference's dynamic
+    tile validator loop (nunif/models/model.py:44-62).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class Model(nn.Module):
+    """Base class for all registered models.
+
+    Subclasses must set a class attribute ``name`` ("app.arch") and define
+    ``__call__(self, x, *, train=False)``.
+    """
+    # subclass class-attr: name: str
+
+    def init_params(self, key: jax.Array, input_shape) -> dict:
+        """Initialize parameters from an example input shape (NHWC)."""
+        x = jnp.zeros(input_shape, jnp.float32)
+        variables = self.init(key, x, train=False)
+        return variables["params"]
+
+    def apply_fn(self, params, x, train: bool = False, rngs=None, **kwargs):
+        return self.apply({"params": params}, x, train=train, rngs=rngs, **kwargs)
+
+
+def model_kwargs(model: Model) -> dict:
+    """Extract constructor kwargs (dataclass fields) for checkpointing."""
+    out = {}
+    for f in dataclasses.fields(model):
+        if f.name in ("parent", "name"):
+            continue
+        v = getattr(model, f.name)
+        if callable(v) and not isinstance(v, (int, float, str, bool, tuple, list)):
+            continue  # non-serializable factory fields are reconstructed by the class default
+        out[f.name] = v
+    return out
+
+
+class I2IBaseModel(Model):
+    """Image-to-image model contract (reference: nunif/models/model.py:65-115).
+
+    Class attrs (overridable per subclass):
+      i2i_scale: output scale factor
+      i2i_offset: pixels cropped from each output border relative to
+                  input*scale (valid-conv shrinkage), in output pixels
+      i2i_blend_size: seam-blend border width in output pixels
+      i2i_tile_quantum: valid tile sizes are those where
+                        ``tile % q.modulo == q.residue`` for every (modulo,
+                        residue) pair — the static replacement for the
+                        reference's per-arch tile validators.
+    """
+    # deliberately NOT dataclass fields (no annotations): plain class attrs so
+    # subclasses override them without flax's dataclass transform interfering
+    i2i_scale = 1
+    i2i_offset = 0
+    i2i_blend_size = 0
+    i2i_default_tile_size = 256
+    i2i_default_batch_size = 4
+    # list of (modulo, residue) constraints on the INPUT tile size
+    i2i_tile_constraints = ()
+
+    @property
+    def i2i_in_channels(self) -> int:
+        return getattr(self, "in_channels", 3)
+
+    @classmethod
+    def is_valid_tile_size(cls, size: int) -> bool:
+        if size <= cls.i2i_offset * 2 // max(cls.i2i_scale, 1):
+            return False
+        return all(size % m == r for (m, r) in cls.i2i_tile_constraints)
+
+    @classmethod
+    def find_valid_tile_size(cls, tile_size: Optional[int]) -> int:
+        """Round the requested tile size up to the nearest valid one."""
+        if tile_size is None:
+            tile_size = cls.i2i_default_tile_size
+        t = int(tile_size)
+        for _ in range(4096):
+            if cls.is_valid_tile_size(t):
+                return t
+            t += 1
+        raise ValueError(f"no valid tile size >= {tile_size} for {cls}")
+
+
+class SoftmaxBaseModel(Model):
+    """Classification model contract (reference: nunif/models/model.py:118)."""
+    # subclasses define: num_classes field
+    pass

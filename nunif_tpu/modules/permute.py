@@ -1,0 +1,45 @@
+"""Layout / window ops, NHWC (reference: nunif/modules/permute.py:45-218).
+
+TPU-first notes: everything here is pure reshape/transpose so XLA fuses it
+into neighbours; window partition keeps the channel axis last (lane dim).
+"""
+import jax.numpy as jnp
+
+
+def pixel_shuffle(x, r: int):
+    """(B, H, W, C*r*r) -> (B, H*r, W*r, C), matching torch.pixel_shuffle
+    semantics for a NCHW->NHWC transposed tensor (channel blocks are
+    [C, r, r] ordered)."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, r, W, r, C
+    return x.reshape(b, h * r, w * r, c)
+
+
+def pixel_unshuffle(x, r: int):
+    """(B, H*r, W*r, C) -> (B, H, W, C*r*r), inverse of pixel_shuffle."""
+    b, hr, wr, c = x.shape
+    h, w = hr // r, wr // r
+    x = x.reshape(b, h, r, w, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # B, H, W, C, r, r
+    return x.reshape(b, h, w, c * r * r)
+
+
+def window_partition(x, window: int):
+    """(B, H, W, C) -> (B*nH*nW, window, window, C)."""
+    b, h, w, c = x.shape
+    nh, nw = h // window, w // window
+    x = x.reshape(b, nh, window, nw, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b * nh * nw, window, window, c)
+
+
+def window_reverse(x, window: int, h: int, w: int):
+    """inverse of window_partition."""
+    nh, nw = h // window, w // window
+    b = x.shape[0] // (nh * nw)
+    c = x.shape[-1]
+    x = x.reshape(b, nh, nw, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)

@@ -1,0 +1,248 @@
+"""Tiled inference with seam blending — TPU-native engine.
+
+Behavioral parity target: reference nunif/utils/seam_blending.py:48-174 and
+nunif/utils/render.py:8-22.  The reference loops tiles in Python, calling the
+model per minibatch and updating a running weighted average on the GPU.  Here
+the WHOLE render — tile extraction, batched model application, weighted
+scatter-add blend, normalization — is one jitted XLA program:
+
+  * static shapes: the compiled program depends only on
+    (h_blocks, w_blocks, tile_size, batch_size, channels) — NOT the exact
+    image size — so arbitrary image sizes reuse a small set of compiled
+    programs (grid-bucketing replaces the reference's dynamic Python loop).
+  * the running weighted mean of the reference (seam_blending.py:155-174)
+    equals sum(w*x)/sum(w); we compute that directly with an fp32
+    accumulation buffer (fidelity note from SURVEY.md §7 hard-part 7).
+  * tile batches stream through ``lax.map`` so activation memory stays
+    bounded at batch_size tiles while XLA pipelines HBM traffic.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dtypes import Policy, DEFAULT_POLICY
+
+
+@dataclasses.dataclass(frozen=True)
+class TileConfig:
+    scale: int
+    offset: int
+    tile_size: int
+    blend_size: int
+    h_blocks: int
+    w_blocks: int
+    input_tile_step: int
+    output_tile_step: int
+    pad: tuple  # (left, right, top, bottom) on the input
+    y_h: int
+    y_w: int
+    y_buffer_h: int
+    y_buffer_w: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.h_blocks * self.w_blocks
+
+    @property
+    def output_tile_size(self) -> int:
+        return self.tile_size * self.scale - self.offset * 2
+
+
+def make_tile_config(height: int, width: int, scale: int, offset: int,
+                     tile_size: int, blend_size: int) -> TileConfig:
+    """Mirror of the reference grid math (seam_blending.py:108-143)."""
+    input_offset = math.ceil(offset / scale)
+    input_blend_size = math.ceil(blend_size / scale)
+    input_tile_step = tile_size - (input_offset * 2 + input_blend_size)
+    assert input_tile_step > 0, "tile_size too small for offset/blend"
+
+    h_blocks = w_blocks = input_h = input_w = 0
+    while input_h < height + input_offset * 2:
+        input_h = h_blocks * input_tile_step + tile_size
+        h_blocks += 1
+    while input_w < width + input_offset * 2:
+        input_w = w_blocks * input_tile_step + tile_size
+        w_blocks += 1
+
+    return TileConfig(
+        scale=scale, offset=offset, tile_size=tile_size, blend_size=blend_size,
+        h_blocks=h_blocks, w_blocks=w_blocks,
+        input_tile_step=input_tile_step,
+        output_tile_step=input_tile_step * scale,
+        pad=(input_offset, input_w - (width + input_offset),
+             input_offset, input_h - (height + input_offset)),
+        y_h=height * scale, y_w=width * scale,
+        y_buffer_h=input_h * scale, y_buffer_w=input_w * scale,
+    )
+
+
+def make_blend_filter(scale: int, offset: int, tile_size: int,
+                      blend_size: int) -> np.ndarray:
+    """Per-tile blend weight map (reference: seam_blending.py:145-153).
+
+    Inner region weight 1.0, ramping down linearly over ``blend_size``
+    border pixels.  Returns (out_tile, out_tile) fp32.
+    """
+    out = tile_size * scale - offset * 2
+    w = np.ones((out, out), dtype=np.float32)
+    for i in range(blend_size):
+        # ring i counts outward from the inner region; it sits at distance
+        # (blend_size - 1 - i) from the tile border
+        value = 1.0 - (1.0 / (blend_size + 1)) * (i + 1)
+        k = i + 1
+        w[blend_size - k, blend_size - k:out - (blend_size - k)] = value
+        w[out - 1 - (blend_size - k), blend_size - k:out - (blend_size - k)] = value
+        w[blend_size - k:out - (blend_size - k), blend_size - k] = value
+        w[blend_size - k:out - (blend_size - k), out - 1 - (blend_size - k)] = value
+    return w
+
+
+@functools.lru_cache(maxsize=64)
+def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
+                          channels, out_channels, scale, offset, blend_size,
+                          input_tile_step, output_tile_step, compute_dtype_name):
+    """Construct + jit the render program for one grid bucket.
+
+    apply_hash is only part of the cache key; the actual callable is passed
+    through _APPLY_FNS (jit closures cannot be cached by value).
+    """
+    apply_fn = _APPLY_FNS[apply_hash]
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    out_tile = tile_size * scale - offset * 2
+    n_tiles = h_blocks * w_blocks
+    n_padded = ((n_tiles + batch_size - 1) // batch_size) * batch_size
+    n_chunks = n_padded // batch_size
+
+    # static tile origin tables
+    hw = np.stack(np.meshgrid(np.arange(h_blocks), np.arange(w_blocks),
+                              indexing="ij"), axis=-1).reshape(-1, 2)
+    in_origins = (hw * input_tile_step).astype(np.int32)
+    out_origins = (hw * output_tile_step).astype(np.int32)
+    valid = np.ones((n_tiles,), np.float32)
+    if n_padded > n_tiles:
+        fill = n_padded - n_tiles
+        in_origins = np.concatenate([in_origins, np.zeros((fill, 2), np.int32)])
+        out_origins = np.concatenate([out_origins, np.zeros((fill, 2), np.int32)])
+        valid = np.concatenate([valid, np.zeros((fill,), np.float32)])
+
+    blend = make_blend_filter(scale, offset, tile_size, blend_size)[..., None]
+
+    y_buffer_h = (h_blocks - 1) * input_tile_step * scale + tile_size * scale
+    y_buffer_w = (w_blocks - 1) * input_tile_step * scale + tile_size * scale
+
+    def render(params, x_padded):
+        # x_padded: (H_in, W_in, C) fp32, already replicate-padded to the grid
+        in_o = jnp.asarray(in_origins)
+        out_o = jnp.asarray(out_origins)
+        valid_w = jnp.asarray(valid)
+        blend_f = jnp.asarray(blend)
+
+        def extract(origin):
+            return jax.lax.dynamic_slice(
+                x_padded, (origin[0], origin[1], 0),
+                (tile_size, tile_size, channels))
+
+        tiles = jax.vmap(extract)(in_o)  # (n_padded, t, t, C)
+        tiles = tiles.astype(compute_dtype)
+        tiles = tiles.reshape(n_chunks, batch_size, tile_size, tile_size, channels)
+
+        def run_chunk(tb):
+            return apply_fn(params, tb).astype(jnp.float32)
+
+        outs = jax.lax.map(run_chunk, tiles)
+        outs = outs.reshape(n_padded, out_tile, out_tile, out_channels)
+
+        pixels0 = jnp.zeros((y_buffer_h, y_buffer_w, out_channels), jnp.float32)
+        weights0 = jnp.zeros((y_buffer_h, y_buffer_w, 1), jnp.float32)
+
+        def body(carry, inp):
+            pixels, weights = carry
+            out, oo, v = inp
+            w = blend_f * v
+            cur_p = jax.lax.dynamic_slice(
+                pixels, (oo[0], oo[1], 0), (out_tile, out_tile, out_channels))
+            cur_w = jax.lax.dynamic_slice(
+                weights, (oo[0], oo[1], 0), (out_tile, out_tile, 1))
+            pixels = jax.lax.dynamic_update_slice(
+                pixels, cur_p + out * w, (oo[0], oo[1], 0))
+            weights = jax.lax.dynamic_update_slice(
+                weights, cur_w + w, (oo[0], oo[1], 0))
+            return (pixels, weights), None
+
+        (pixels, weights), _ = jax.lax.scan(
+            body, (pixels0, weights0), (outs, out_o, valid_w))
+        y = pixels / jnp.maximum(weights, 1e-6)
+        return jnp.clip(y, 0.0, 1.0)
+
+    return jax.jit(render)
+
+
+# registry of apply functions keyed by a stable hash (see _build_render_program)
+_APPLY_FNS: dict = {}
+
+
+def _register_apply_fn(key, fn):
+    _APPLY_FNS[key] = fn
+
+
+class TiledRenderer:
+    """Render arbitrarily-sized images through an I2I model by tiles.
+
+    One instance per (model, params).  Compiled programs are cached per
+    (h_blocks, w_blocks, tile, batch) bucket.
+    """
+
+    def __init__(self, model, params, policy: Policy = DEFAULT_POLICY):
+        self.model = model
+        self.params = params
+        self.policy = policy
+        self._apply_key = (model.model_name, id(model), jnp.dtype(policy.compute_dtype).name)
+
+        def apply_fn(p, xb):
+            return model.apply({"params": p}, xb, train=False)
+
+        _register_apply_fn(self._apply_key, apply_fn)
+
+    def render(self, x, tile_size=None, batch_size=None):
+        """x: (H, W, C) float32 in [0,1]. Returns (H*scale, W*scale, C_out)."""
+        model = self.model
+        tile_size = model.find_valid_tile_size(tile_size)
+        batch_size = batch_size or model.i2i_default_batch_size
+        h, w, c = x.shape
+        cfg = make_tile_config(h, w, model.i2i_scale, model.i2i_offset,
+                               tile_size, model.i2i_blend_size)
+        left, right, top, bottom = cfg.pad
+        x_padded = jnp.pad(jnp.asarray(x, jnp.float32),
+                           ((top, bottom), (left, right), (0, 0)), mode="edge")
+        out_channels = getattr(model, "out_channels", c)
+        program = _build_render_program(
+            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_size,
+            int(batch_size), c, out_channels, cfg.scale, cfg.offset,
+            cfg.blend_size, cfg.input_tile_step, cfg.output_tile_step,
+            jnp.dtype(self.policy.compute_dtype).name)
+        y_full = program(self.params, x_padded)
+        return y_full[:cfg.y_h, :cfg.y_w, :]
+
+
+def simple_render(x, model, params, policy: Policy = DEFAULT_POLICY):
+    """Whole-image render (reference: nunif/utils/render.py:22-44).
+
+    Replicate-pads by ceil(offset/scale) so the output matches H*scale.
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    if model.i2i_offset > 0:
+        p = math.ceil(model.i2i_offset / model.i2i_scale)
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+    y = model.apply({"params": params}, x.astype(policy.compute_dtype), train=False)
+    y = y.astype(jnp.float32)
+    if squeeze:
+        y = y[0]
+    return y
