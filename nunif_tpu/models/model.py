@@ -81,23 +81,21 @@ class I2IBaseModel(Model):
     def i2i_in_channels(self) -> int:
         return getattr(self, "in_channels", 3)
 
-    @classmethod
-    def is_valid_tile_size(cls, size: int) -> bool:
-        if size <= cls.i2i_offset * 2 // max(cls.i2i_scale, 1):
+    def is_valid_tile_size(self, size: int) -> bool:
+        if size <= self.i2i_offset * 2 // max(self.i2i_scale, 1):
             return False
-        return all(size % m == r for (m, r) in cls.i2i_tile_constraints)
+        return all(size % m == r for (m, r) in self.i2i_tile_constraints)
 
-    @classmethod
-    def find_valid_tile_size(cls, tile_size: Optional[int]) -> int:
+    def find_valid_tile_size(self, tile_size: Optional[int]) -> int:
         """Round the requested tile size up to the nearest valid one."""
         if tile_size is None:
-            tile_size = cls.i2i_default_tile_size
+            tile_size = self.i2i_default_tile_size
         t = int(tile_size)
         for _ in range(4096):
-            if cls.is_valid_tile_size(t):
+            if self.is_valid_tile_size(t):
                 return t
             t += 1
-        raise ValueError(f"no valid tile size >= {tile_size} for {cls}")
+        raise ValueError(f"no valid tile size >= {tile_size} for {type(self)}")
 
 
 class SoftmaxBaseModel(Model):

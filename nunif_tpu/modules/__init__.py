@@ -7,3 +7,8 @@ from .permute import (
 )
 from .norm import LayerNormNoBias, RMSNorm, l2_normalize
 from .conv import ConvTranspose2dTorch, leaky_relu
+from .resize import resize, scale_by, resize_matrix
+from .attention import (
+    ShiftedWindowAttention, SwinTransformerBlock, SwinTransformerBlocks, SEBlock,
+)
+from . import losses

@@ -1,0 +1,197 @@
+"""Window attention blocks, NHWC (reference: nunif/modules/attention.py:29-738
+and torchvision SwinTransformerBlock V1 used by waifu2x/models/swin_unet.py:26).
+
+TPU-first notes:
+  * all shapes static: tile contracts guarantee H, W divide the window, so
+    there is no dynamic padding; the shifted-window mask is a compile-time
+    numpy constant.
+  * attention math runs in the compute dtype with fp32 softmax; matmuls use
+    ``preferred_element_type=float32`` so the MXU accumulates in fp32.
+  * a fused Pallas kernel for the hot path lives in
+    nunif_tpu/ops/pallas/window_attention.py; this module is the XLA
+    reference implementation and the fallback on CPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@functools.lru_cache(maxsize=32)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """(wh*ww, wh*ww) index into a ((2wh-1)*(2ww-1),) bias table."""
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    coords = coords.reshape(2, -1)  # (2, N)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0).copy()  # (N, N, 2)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (N, N)
+
+
+@functools.lru_cache(maxsize=32)
+def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Swin attention mask for cyclic-shifted windows.
+
+    Returns (num_windows, N, N) float32 with 0 for allowed pairs and -100
+    for pairs that wrapped from opposite image borders.
+    """
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    nh, nw = h // window, w // window
+    wins = img.reshape(nh, window, nw, window).transpose(0, 2, 1, 3)
+    wins = wins.reshape(nh * nw, window * window)
+    diff = wins[:, :, None] != wins[:, None, :]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+class ShiftedWindowAttention(nn.Module):
+    """Swin V1 (shifted-)window MHA with relative position bias."""
+    dim: int
+    num_heads: int
+    window_size: int = 6
+    shift_size: int = 0
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = self.window_size
+        assert h % ws == 0 and w % ws == 0, (h, w, ws)
+        shift = self.shift_size if (h > ws or w > ws) else 0
+        n = ws * ws
+        head_dim = c // self.num_heads
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads), jnp.float32)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=x.dtype, name="qkv")
+        proj = nn.Dense(c, dtype=x.dtype, name="proj")
+
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+
+        nh, nw = h // ws, w // ws
+        xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nh * nw, n, c)
+
+        qkv_out = qkv(xw).reshape(-1, n, 3, self.num_heads, head_dim)
+        q = qkv_out[:, :, 0].transpose(0, 2, 1, 3)  # (BW, H, N, d)
+        k = qkv_out[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv_out[:, :, 2].transpose(0, 2, 1, 3)
+        q = q * (head_dim ** -0.5)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+
+        idx = relative_position_index(ws, ws)
+        rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # (H, N, N)
+        attn = attn + rel_bias[None].astype(attn.dtype)
+
+        if shift > 0:
+            mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
+            attn = attn.reshape(b, nh * nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b * nh * nw, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, n, c)
+        out = proj(out)
+
+        out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, h, w, c)
+        if shift > 0:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        return out
+
+
+class MLPBlock(nn.Module):
+    """Transformer MLP (torchvision MLP: Linear-GELU-Linear, exact gelu)."""
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=x.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=x.dtype, name="fc2")(x)
+        return x
+
+
+class SwinTransformerBlock(nn.Module):
+    """Swin V1 block: x + attn(norm1(x)); x + mlp(norm2(x)).
+
+    norm="none" matches waifu2x swin_unet's NO_NORM_LAYER default
+    (reference: waifu2x/models/swin_unet.py:16).
+    """
+    dim: int
+    num_heads: int
+    window_size: int = 6
+    shift_size: int = 0
+    mlp_ratio: float = 2.0
+    norm: str = "none"  # "none" | "layernorm_nobias" | "layernorm"
+
+    def _norm(self, name):
+        if self.norm == "none":
+            return lambda x: x
+        if self.norm == "layernorm_nobias":
+            return nn.LayerNorm(use_bias=False, name=name)
+        return nn.LayerNorm(name=name)
+
+    @nn.compact
+    def __call__(self, x):
+        h = self._norm("norm1")(x)
+        x = x + ShiftedWindowAttention(
+            self.dim, self.num_heads, self.window_size, self.shift_size,
+            name="attn")(h)
+        h = self._norm("norm2")(x)
+        x = x + MLPBlock(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
+        return x
+
+
+class SwinTransformerBlocks(nn.Module):
+    """Stack of blocks with alternating shift (reference:
+    waifu2x/models/swin_unet.py:21-44)."""
+    dim: int
+    num_heads: int
+    num_layers: int
+    window_size: int = 6
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = SwinTransformerBlock(
+                self.dim, self.num_heads, self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                norm=self.norm, name=f"block{i}")(x)
+        return x
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (reference: nunif/modules/attention.py:29)."""
+    channels: int
+    reduction: int = 8
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        z = jnp.mean(x, axis=(1, 2), keepdims=True)
+        z = nn.Dense(self.channels // self.reduction, use_bias=self.bias,
+                     dtype=x.dtype, name="fc1")(z)
+        z = nn.relu(z)
+        z = nn.Dense(self.channels, use_bias=self.bias, dtype=x.dtype,
+                     name="fc2")(z)
+        return x * jax.nn.sigmoid(z)

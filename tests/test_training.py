@@ -1,0 +1,154 @@
+"""Training framework tests (reference behavior: nunif/training/trainer.py,
+env.py grad-accum + NaN guard, sampler.py OHEM)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from nunif_tpu.models import create_model
+from nunif_tpu.training import (
+    TrainState, make_train_step, Trainer, TrainerConfig,
+    HardExampleSampler, MiningMethod, build_schedule, wd_mask,
+    calculate_adaptive_weight,
+)
+import nunif_tpu.waifu2x  # noqa: F401
+
+
+def _tiny_problem():
+    """Learn y = 2x with a 1-layer 'model'."""
+    params = {"w": jnp.zeros((1,))}
+
+    def loss_fn(p, batch, rng):
+        x, y = batch
+        pred = x * p["w"]
+        loss = jnp.mean((pred - y) ** 2)
+        return loss, {}
+    return params, loss_fn
+
+
+def test_train_step_converges():
+    params, loss_fn = _tiny_problem()
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx)
+    x = jnp.ones((8, 1)); y = x * 2.0
+    for _ in range(100):
+        state, m = step(state, (x, y), jax.random.PRNGKey(0))
+    assert float(state.params["w"][0]) == pytest.approx(2.0, abs=1e-3)
+    assert int(state.nan_count) == 0
+
+
+def test_train_step_nan_guard_skips_update():
+    params, loss_fn = _tiny_problem()
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx)
+    step = make_train_step(loss_fn, tx)
+    x = jnp.full((4, 1), jnp.nan); y = jnp.ones((4, 1))
+    state, m = step(state, (x, y), jax.random.PRNGKey(0))
+    assert int(state.nan_count) == 1
+    assert float(state.params["w"][0]) == 0.0  # update skipped
+    assert not bool(m["finite"])
+
+
+def test_grad_accumulation_equivalent():
+    params, loss_fn = _tiny_problem()
+    tx = optax.sgd(0.1)
+    x = jnp.arange(8, dtype=jnp.float32).reshape(8, 1); y = x * 2
+
+    # fresh param trees per state: the train step donates its input state
+    s1 = TrainState.create({"w": jnp.zeros((1,))}, tx)
+    s1, _ = make_train_step(loss_fn, tx)(s1, (x, y), jax.random.PRNGKey(0))
+
+    s2 = TrainState.create({"w": jnp.zeros((1,))}, tx)
+    s2, _ = make_train_step(loss_fn, tx, accum_steps=4)(s2, (x, y), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s1.params["w"]),
+                               np.asarray(s2.params["w"]), rtol=1e-5)
+
+
+def test_ema_tracking():
+    params, loss_fn = _tiny_problem()
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx, use_ema=True)
+    step = make_train_step(loss_fn, tx, ema_decay=0.9)
+    x = jnp.ones((4, 1)); y = x * 2
+    state, _ = step(state, (x, y), jax.random.PRNGKey(0))
+    # ema = 0.9*0 + 0.1*new_w
+    assert float(state.ema_params["w"][0]) == pytest.approx(
+        0.1 * float(state.params["w"][0]), rel=1e-5)
+
+
+def test_trainer_fit_and_resume(tmp_path):
+    model = create_model("waifu2x.vgg_7")
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 16, 3))
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(4, 16, 16, 3)).astype(np.float32)
+    y = rng.uniform(size=(4, 2, 2, 3)).astype(np.float32)
+
+    def loss_fn(p, batch, rng_key):
+        bx, by = batch
+        pred = model.apply({"params": p}, bx, train=True)
+        return jnp.mean(jnp.abs(pred - by)), {}
+
+    cfg = TrainerConfig(model_dir=str(tmp_path), max_epoch=2,
+                        optimizer="adam", learning_rate=1e-4)
+    tr = Trainer(cfg, model, params, loss_fn, steps_per_epoch=1)
+    tr.fit(lambda: [(x, y)])
+    assert os.path.exists(tr.checkpoint_path)
+    assert tr.last_epoch == 2
+
+    cfg2 = TrainerConfig(model_dir=str(tmp_path), max_epoch=3,
+                         optimizer="adam", learning_rate=1e-4, resume=True)
+    tr2 = Trainer(cfg2, model, params, loss_fn, steps_per_epoch=1)
+    assert tr2.last_epoch == 2  # resumed
+    tr2.fit(lambda: [(x, y)])
+    assert tr2.last_epoch == 3
+
+
+def test_hard_example_sampler():
+    s = HardExampleSampler(10, method=MiningMethod.LINEAR, scale_factor=4.0)
+    for i in range(10):
+        s.update_loss(i, float(i))
+    s.update_weights()
+    # hardest sample (9) gets 4x the weight of easiest (0)
+    assert s.weights[9] / s.weights[0] == pytest.approx(4.0, rel=1e-6)
+    idx = s.epoch_indexes()
+    assert len(idx) == 10
+    top = HardExampleSampler(10, method=MiningMethod.TOP10, scale_factor=4.0)
+    for i in range(10):
+        top.update_loss(i, float(i))
+    top.update_weights()
+    assert top.weights[9] > top.weights[0]
+
+
+def test_schedules():
+    s = build_schedule("cosine", 1.0, steps_per_epoch=10, t_0=2)
+    assert s(0) == pytest.approx(1.0)
+    assert s(10) == pytest.approx(0.5, abs=0.01)  # halfway through cycle
+    s2 = build_schedule("step", 1.0, steps_per_epoch=10, step_size=1, gamma=0.5)
+    assert s2(0) == 1.0 and s2(10) == 0.5 and s2(20) == 0.25
+    s3 = build_schedule("multistep", 1.0, 10, milestones=[1, 2], gamma=0.1)
+    assert s3(25) == pytest.approx(0.01)
+
+
+def test_wd_mask_excludes_bias_and_norm():
+    model = create_model("waifu2x.swin_unet_2x", base_dim=48)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    mask = wd_mask(params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    by_name = {"/".join(p.key for p in path): v for path, v in flat}
+    biases = [k for k in by_name if k.endswith("bias")]
+    tables = [k for k in by_name if "relative_position_bias_table" in k]
+    kernels = [k for k in by_name if k.endswith("kernel")]
+    assert biases and all(not by_name[k] for k in biases)
+    assert tables and all(not by_name[k] for k in tables)
+    assert kernels and all(by_name[k] for k in kernels)
+
+
+def test_adaptive_weight():
+    w = calculate_adaptive_weight(jnp.asarray(2.0), jnp.asarray(1.0))
+    assert float(w) == pytest.approx(2.0, rel=1e-4)
+    assert float(calculate_adaptive_weight(jnp.asarray(100.0), jnp.asarray(1.0))) == 10.0
