@@ -1,0 +1,209 @@
+"""Backward (grid-sample) stereo warp and learned NN delta warps.
+
+Behavioral parity target: reference iw3/backward_warp.py:
+  * make_divergence_feature_value / make_input_tensor (:8-66)
+  * apply_divergence_grid_sample (:96-123)
+  * apply_divergence_nn_LR / _nn_delta / _nn_delta_weight (:126-330):
+    at inference the row_flow/MLBW models run in ``delta_output`` mode on a
+    3-channel packed input; the warp itself is applied OUTSIDE the model
+    with delta_scale = 1/(W//2-1), right eye = horizontally flipped pass.
+
+All NHWC. The stereo displacement is horizontal-only, so sampling uses the
+1-D fast path ``warp_x`` (one gather along W) — identical numerics to the
+reference's full 2-D grid_sample with a zero y-delta, but W-contiguous.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..modules.grid_sample import warp_x
+from ..modules.resize import resize
+from .mapper import get_mapper
+
+
+def make_divergence_feature_value(divergence, convergence, image_width):
+    # reference iw3/backward_warp.py:8-14
+    divergence_pix = divergence * 0.5 * 0.01 * image_width
+    divergence_feature_value = divergence_pix / 32.0
+    convergence_feature_value = (-divergence_pix * convergence) / 32.0
+    return divergence_feature_value, convergence_feature_value
+
+
+def _border_ramp(feat, divergence, image_width):
+    """Force screen-border parallax toward zero (reference :31-45)."""
+    H, W = feat.shape[-2:]
+    border_pix = round(divergence * 0.75 * 0.01 * image_width * (W / image_width))
+    if border_pix <= 0:
+        return feat
+    weight = jnp.ones((W,), feat.dtype)
+    weight = weight.at[:border_pix].set(jnp.linspace(0.0, 1.0, border_pix, dtype=feat.dtype))
+    weight = weight.at[W - border_pix:].set(jnp.linspace(1.0, 0.0, border_pix, dtype=feat.dtype))
+    return feat * weight.reshape((1,) * (feat.ndim - 1) + (W,))
+
+
+def make_input_tensor(c, depth, divergence, convergence, image_width,
+                      mapper=None, preserve_screen_border=False):
+    """Pack the NN-warp input (reference iw3/backward_warp.py:17-66), NHWC.
+
+    depth: (B,H,W,1).  With c=None returns (B,H,W,3):
+    [depth, divergence_feat, convergence_feat] — the inference-time input.
+    With c=(B,H,W,3) returns (B,H,W,8) adding rgb + identity grid (training).
+    """
+    d = depth[..., 0]
+    if mapper is not None:
+        d = get_mapper(mapper)(d)
+    B, H, W = d.shape
+    div_v, conv_v = make_divergence_feature_value(divergence, convergence, image_width)
+    divergence_feat = jnp.full_like(d, div_v)
+    conv_v = jnp.asarray(conv_v, d.dtype)
+    if conv_v.ndim:  # per-batch convergence (B,)
+        convergence_feat = jnp.broadcast_to(conv_v.reshape(B, 1, 1), d.shape)
+    else:
+        convergence_feat = jnp.full_like(d, conv_v)
+
+    if preserve_screen_border:
+        divergence_feat = _border_ramp(divergence_feat, divergence, image_width)
+        convergence_feat = _border_ramp(convergence_feat, divergence, image_width)
+
+    feats = [d[..., None], divergence_feat[..., None], convergence_feat[..., None]]
+    if c is not None:
+        gy = jnp.linspace(-1, 1, H, dtype=d.dtype)
+        gx = jnp.linspace(-1, 1, W, dtype=d.dtype)
+        grid_x = jnp.broadcast_to(gx.reshape(1, 1, W), (B, H, W))[..., None]
+        grid_y = jnp.broadcast_to(gy.reshape(1, H, 1), (B, H, W))[..., None]
+        return jnp.concatenate([c] + feats + [grid_x, grid_y], axis=-1)
+    return jnp.concatenate(feats, axis=-1)
+
+
+def backward_warp_delta(c, delta, delta_scale):
+    """grid = identity + delta*delta_scale in [-1,1] units (reference :70-87).
+
+    c: (B,H,W,C); delta: (B,H,W) normalized x-delta.  If delta's spatial
+    size differs from c it is bilinearly resized (align_corners semantics
+    are immaterial for same-size; reference interpolates the grid).
+    """
+    B, H, W, _ = c.shape
+    if delta.shape[1:] != (H, W):
+        delta = resize(delta[..., None], H, W, mode="bilinear",
+                       antialias=False)[..., 0]
+    delta_px = delta.astype(jnp.float32) * delta_scale * ((W - 1) / 2.0)
+    return jnp.clip(warp_x(c, delta_px, padding_mode="border"), 0.0, 1.0)
+
+
+def apply_divergence_grid_sample(c, depth, divergence, convergence,
+                                 synthetic_view: str = "both"):
+    """Pure backward warp (reference iw3/backward_warp.py:96-123).
+
+    c: (B,H,W,3); depth: (B,H,W,1) in [0,1].  Returns (left, right).
+    """
+    assert synthetic_view in {"both", "right", "left"}
+    B, H, W, _ = depth.shape
+    if synthetic_view != "both":
+        divergence = divergence * 2
+
+    base_size = max(H, W)
+    shift_size = divergence * 0.01
+    index_shift = depth[..., 0] * shift_size - shift_size * convergence
+    # reference: delta in [-1,1] units scaled by base_size/W
+    delta_px = index_shift * (base_size / W) * ((W - 1) / 2.0)
+
+    def bwarp(sign):
+        return jnp.clip(warp_x(c, sign * delta_px, padding_mode="border"), 0.0, 1.0)
+
+    if synthetic_view == "both":
+        return bwarp(-1.0), bwarp(1.0)
+    if synthetic_view == "right":
+        return c, bwarp(1.0)
+    return bwarp(-1.0), c
+
+
+def apply_divergence_nn_delta(model, params, c, depth, divergence, convergence,
+                              steps=1, shift=-1, preserve_screen_border=False):
+    """row_flow delta warp (reference iw3/backward_warp.py:189-232).
+
+    shift=-1 -> left eye; shift=+1 -> right eye (flip, warp, flip back).
+    """
+    steps = 1 if steps is None else steps
+    if shift > 0:
+        c = c[:, :, ::-1, :]
+        depth = depth[:, :, ::-1, :]
+    B, H, W, _ = depth.shape
+    base_size = max(H, W)
+    divergence_step = divergence / steps
+    delta_scale = 1.0 / (W // 2 - 1)
+
+    depth_warp = depth
+    delta_steps = []
+    for j in range(steps):
+        x = make_input_tensor(None, depth_warp, divergence=divergence_step,
+                              convergence=convergence, image_width=base_size,
+                              preserve_screen_border=preserve_screen_border)
+        delta = model.apply_fn(params, x)  # (B,H,W,1) delta_output mode
+        delta_steps.append(delta[..., 0])
+        if j + 1 < steps:
+            depth_warp = backward_warp_delta(depth_warp, delta_steps[-1], delta_scale)
+
+    c_warp = c
+    for delta in delta_steps:
+        c_warp = backward_warp_delta(c_warp, delta, delta_scale)
+    if shift > 0:
+        c_warp = c_warp[:, :, ::-1, :]
+    return c_warp
+
+
+def apply_divergence_nn_delta_weight(model, params, c, depth, divergence,
+                                     convergence, shift=-1,
+                                     preserve_screen_border=False):
+    """MLBW multi-layer blended warp (reference iw3/backward_warp.py:263-330)."""
+    if shift > 0:
+        c = c[:, :, ::-1, :]
+        depth = depth[:, :, ::-1, :]
+    B, H, W, _ = depth.shape
+    base_size = max(H, W)
+    x = make_input_tensor(None, depth, divergence=divergence,
+                          convergence=convergence, image_width=base_size,
+                          preserve_screen_border=preserve_screen_border)
+    out = model.apply_fn(params, x)
+    if getattr(model, "hole_mask", False):
+        delta, layer_weight, hole_mask_logits = out
+    else:
+        delta, layer_weight = out
+        hole_mask_logits = None
+
+    if layer_weight.shape[1:3] != c.shape[1:3]:
+        layer_weight = resize(layer_weight, c.shape[1], c.shape[2],
+                              mode="bilinear", antialias=True)
+    delta_scale = 1.0 / (W // 2 - 1)
+    z = jnp.zeros_like(c)
+    for i in range(model.num_layers):
+        z = z + (backward_warp_delta(c, delta[..., i], delta_scale)
+                 * layer_weight[..., i:i + 1])
+    z = jnp.clip(z, 0.0, 1.0)
+    if shift > 0:
+        z = z[:, :, ::-1, :]
+        if hole_mask_logits is not None:
+            hole_mask_logits = hole_mask_logits[:, :, ::-1, :]
+    return z
+
+
+def apply_divergence_nn_LR(model, params, c, depth, divergence, convergence,
+                           steps=None, synthetic_view: str = "both",
+                           preserve_screen_border: bool = False):
+    """Dispatch for row_flow/MLBW (reference iw3/backward_warp.py:126-160)."""
+    assert synthetic_view in {"both", "right", "left"}
+    is_mlbw = getattr(model, "model_name", "") == "sbs.mlbw"
+
+    def one(div, shift):
+        if is_mlbw:
+            return apply_divergence_nn_delta_weight(
+                model, params, c, depth, div, convergence, shift=shift,
+                preserve_screen_border=preserve_screen_border)
+        return apply_divergence_nn_delta(
+            model, params, c, depth, div, convergence, steps=steps, shift=shift,
+            preserve_screen_border=preserve_screen_border)
+
+    if synthetic_view == "both":
+        return one(divergence, -1), one(divergence, 1)
+    if synthetic_view == "right":
+        return c, one(divergence * 2, 1)
+    return one(divergence * 2, -1), c

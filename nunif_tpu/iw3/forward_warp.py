@@ -1,0 +1,299 @@
+"""Depth-ordered bilinear forward warp (splatting) with hole filling.
+
+Behavioral parity target: reference iw3/forward_warp.py:88-257
+(``depth_order_bilinear_forward_warp``): replicate-pad horizontally, splat
+each source pixel to floor/ceil of its shifted x with bilinear weights,
+nearer (larger) depth wins on collision, then fix layered holes and fill
+disocclusions.
+
+TPU-first redesign — the reference needs a *globally ordered* scatter
+(torch deterministic ``index_copy`` over a depth argsort, forward_warp.py:93-112).
+The warp is horizontal-only, so ordering only matters within a row; we
+replace the sort+ordered-copy entirely with ONE scatter-max per tap of an
+int32 packed key ``depth_q * W + src_x`` (depth quantized to the available
+bits).  max(key) == "largest depth wins, ties -> largest x", which is
+exactly the reference's write order.  The winning source is then decoded
+and gathered.  Hole fixing uses closed forms instead of the reference's
+``while mask.any()`` loops (up to 100 sequential passes):
+  * fix_layered_holes == suffix/prefix-min over the warped source-index row
+    (an O(log W) associative scan) + one comparison;
+  * shift_fill (directional nearest-defined fill) == prefix/suffix-max of
+    defined source positions + one gather.
+Both are mathematically the loops' fixed points.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..modules.pad import replication_pad2d, crop2d
+from ..modules.pool import box_blur
+from ..modules.resize import resize
+
+
+# ---------------------------------------------------------------------------
+# closed-form hole utilities (per-row, x axis = axis -1 of (N, W) arrays)
+
+def _suffix_min(x):
+    return jax.lax.associative_scan(jnp.minimum, x, reverse=True,
+                                    axis=x.ndim - 1)
+
+
+def _prefix_min(x):
+    return jax.lax.associative_scan(jnp.minimum, x, axis=x.ndim - 1)
+
+
+def fill_nearest_x(x, sign: int):
+    """Directional nearest-defined fill (== converged reference shift_fill,
+    iw3/forward_warp.py:18-30).
+
+    x: (..., W, C); a pixel is undefined when channel values < 0 (the
+    reference's -1/-2 markers).  sign > 0 fills from the right neighbor
+    (take value at the nearest defined position > x), sign < 0 from the
+    left.  Pixels with no defined neighbor in that direction stay as-is.
+    """
+    W = x.shape[-2]
+    defined = x[..., 0] >= 0  # (..., W)
+    pos = jax.lax.broadcasted_iota(jnp.int32, defined.shape, defined.ndim - 1)
+    scan_axis = defined.ndim - 1
+    if sign < 0:
+        # nearest defined at or left of x
+        src = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(defined, pos, -1), axis=scan_axis)
+    else:
+        # nearest defined at or right of x: suffix-min of (pos or +inf)
+        big = jnp.int32(W)
+        src = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(defined, pos, big), reverse=True,
+            axis=scan_axis)
+        src = jnp.where(src == big, -1, src)
+    has = src >= 0
+    gathered = jnp.take_along_axis(x, jnp.maximum(src, 0)[..., None], axis=-2)
+    return jnp.where(has[..., None], gathered, x)
+
+
+def shift_fill(x, sign: int, flip_sign: bool = False, max_tries: int = 100):
+    """Reference iw3/forward_warp.py:18-30.  x: (B,H,W,C).
+
+    flip_sign=True (inconsistent_shift) alternates direction each pass —
+    that path keeps the reference's iterative form as a bounded while_loop.
+    """
+    if not flip_sign:
+        return fill_nearest_x(x, sign)
+
+    def cond(carry):
+        x, s, tries = carry
+        return jnp.logical_and(jnp.any(x[..., 0] < 0), tries > 0)
+
+    def body(carry):
+        x, s, tries = carry
+        # zero-padded neighbor take, exactly the reference's F.pad semantics
+        right = jnp.concatenate([x[:, :, 1:], jnp.zeros_like(x[:, :, -1:])], axis=2)
+        left = jnp.concatenate([jnp.zeros_like(x[:, :, :1]), x[:, :, :-1]], axis=2)
+        taken = jnp.where(s > 0, right, left)
+        x = jnp.where(x < 0, taken, x)
+        return x, -s, tries - 1
+
+    x, _, _ = jax.lax.while_loop(cond, body, (x, jnp.int32(sign), jnp.int32(max_tries)))
+    return x
+
+
+def shift_fill_pack(left_eye, right_eye, inconsistent_shift: bool = False):
+    """Reference iw3/forward_warp.py:33-42 (NHWC, channel-concat trick kept)."""
+    if inconsistent_shift:
+        pack = jnp.concatenate([left_eye, right_eye], axis=-1)
+        pack = shift_fill(pack, 1, flip_sign=True)
+        n = left_eye.shape[-1]
+        return pack[..., :n], pack[..., n:]
+    # left filled from the left, right filled from the right (via flip)
+    left_eye = fill_nearest_x(left_eye, -1)
+    right_eye = fill_nearest_x(right_eye[:, :, ::-1, :], -1)[:, :, ::-1, :]
+    return left_eye, right_eye
+
+
+def fix_layered_holes(side_image, index_image, sign: int):
+    """Closed form of reference iw3/forward_warp.py:45-59.
+
+    The reference loop converges to: for sign>0, index row -> suffix-min;
+    a pixel is a layered hole (marked -2) iff its original warped source
+    index exceeds the suffix-min of the indexes to its right.
+    side_image: (B,H,W,C); index_image: (B,H,W,1).
+
+    A 1e-3 epsilon guards the strict > against float noise: warped indexes
+    are convex blends of integer source positions, so genuine layered-hole
+    jumps are O(1) while bilinear-blend rounding noise is O(1e-6) — the
+    reference's strict comparison is itself noise-determined there.
+    """
+    eps = 1e-3
+    idx = index_image[..., 0]
+    if sign > 0:
+        shifted_min = jnp.concatenate(
+            [_suffix_min(idx)[:, :, 1:], idx[:, :, -1:]], axis=2)
+        final_idx = jnp.minimum(idx, shifted_min)
+    else:
+        shifted_min = jnp.concatenate(
+            [idx[:, :, :1], _prefix_min(idx)[:, :, :-1]], axis=2)
+        final_idx = jnp.minimum(idx, shifted_min)
+    hole = idx > shifted_min + eps
+    side_image = jnp.where(hole[..., None], -2.0, side_image)
+    return side_image, final_idx[..., None]
+
+
+def gen_mask2(x):
+    """Reference iw3/forward_warp.py:142-144: 1=undefined, 0.5=layered hole."""
+    m = x[..., 0:1]
+    return jnp.clip((m == -1).astype(jnp.float32) + (m == -2).astype(jnp.float32) * 0.5,
+                    0.0, 1.0)
+
+
+def blur_blend(x, mask):
+    # reference iw3/forward_warp.py:12-15
+    mask = jnp.clip(box_blur(mask.astype(x.dtype)), 0, 1)
+    return x * (1.0 - mask) + box_blur(x) * mask
+
+
+# ---------------------------------------------------------------------------
+# the splat kernel
+
+def _row_splat_winner(values, target_idx, depth_key):
+    """One scatter-max tap.
+
+    values: (N, W, C) source values; target_idx: (N, W) int32 in [0, W);
+    depth_key: (N, W) int32 packed priority key (depth << log2(W) | x).
+    Returns (N, W, C) where each target holds the winning source's values,
+    or -1 marker rows where no source landed.
+    """
+    N, W, C = values.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, W), 0)
+    best = jnp.full((N, W), -1, jnp.int32)
+    best = best.at[rows, target_idx].max(depth_key, mode="drop")
+    has = best >= 0
+    win_x = jnp.where(has, best % W, 0)
+    out = jnp.take_along_axis(values, win_x[..., None], axis=1)
+    # undefined: weight channel (0) -> 0, payload channels -> -1
+    undef = jnp.concatenate(
+        [jnp.zeros((1, 1, 1), values.dtype),
+         jnp.full((1, 1, C - 1), -1.0, values.dtype)], axis=-1)
+    return jnp.where(has[..., None], out, undef)
+
+
+def _warp_one(c_packed, depth, index_shift):
+    """Splat c_packed (B,H,W,C: [channels..., x_index]) by index_shift pixels.
+
+    Equivalent of reference warp() (iw3/forward_warp.py:115-137).
+    """
+    B, H, W, C = c_packed.shape
+    x_pos = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    float_index = jnp.clip(x_pos + index_shift, 0, W - 1)
+    floor_index = jnp.floor(float_index)
+    ceil_index = jnp.ceil(float_index)
+    ceil_w = jnp.clip(float_index - floor_index, 1e-5, 1.0 - 1e-5)
+    floor_w = 1.0 - ceil_w
+
+    # int32 packed priority: depth (quantized) high bits, src x low bits.
+    q_levels = (2 ** 31 - 2) // W
+    depth_q = jnp.clip(jnp.round(depth * (q_levels - 1)), 0, q_levels - 1).astype(jnp.int32)
+    key = depth_q * W + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+
+    n = B * H
+    key2 = key.reshape(n, W)
+
+    def tap(weight, tgt):
+        vals = jnp.concatenate([weight[..., None], c_packed], axis=-1)
+        out = _row_splat_winner(vals.reshape(n, W, C + 1),
+                                tgt.astype(jnp.int32).reshape(n, W), key2)
+        out = out.reshape(B, H, W, C + 1)
+        return out[..., 0:1], out[..., 1:]
+
+    floor_weight_warp, floor_warp = tap(floor_w, floor_index)
+    ceil_weight_warp, ceil_warp = tap(ceil_w, ceil_index)
+
+    wsum = floor_weight_warp + ceil_weight_warp
+    out = (floor_warp * floor_weight_warp + ceil_warp * ceil_weight_warp) / jnp.maximum(wsum, 1e-12)
+    return jnp.where(wsum > 0, out, -1.0)
+
+
+def depth_order_bilinear_forward_warp(c, depth, divergence, convergence,
+                                      fill: bool = True,
+                                      synthetic_view: str = "both",
+                                      return_mask: bool = False,
+                                      inconsistent_shift: bool = False,
+                                      width_base: bool = True):
+    """Reference iw3/forward_warp.py:147-244.  NHWC, returns (left, right[, masks])."""
+    src_image = c
+    assert synthetic_view in {"both", "right", "left"}
+    if depth.shape[1:3] != c.shape[1:3]:
+        depth = resize(depth, c.shape[1], c.shape[2], mode="bilinear", antialias=True)
+    if synthetic_view != "both":
+        divergence = divergence * 2
+
+    base_size = c.shape[2] if width_base else max(c.shape[1], c.shape[2])
+    padding_size = int(base_size * divergence * 0.01 + 2)
+    c = replication_pad2d(c, (padding_size, padding_size, 0, 0))
+    depth = replication_pad2d(depth, (padding_size, padding_size, 0, 0))
+
+    B, H, W, _ = depth.shape
+    d = depth[..., 0].astype(jnp.float32)
+    shift_size = divergence * 0.01 * base_size * 0.5
+    conv = jnp.asarray(convergence, jnp.float32)
+    if conv.ndim:
+        conv = conv.reshape(B, 1, 1)
+    index_shift = d * shift_size - shift_size * conv
+
+    x_index = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    c_packed = jnp.concatenate([c.astype(jnp.float32), x_index[..., None]], axis=-1)
+
+    def unpack(eye):
+        eye = crop2d(eye, (padding_size, padding_size, 0, 0))
+        return eye[..., :-1], eye[..., -1:]
+
+    if synthetic_view == "both":
+        left, left_idx = unpack(_warp_one(c_packed, d, index_shift))
+        right, right_idx = unpack(_warp_one(c_packed, d, -index_shift))
+        left_idx, right_idx = shift_fill_pack(left_idx, right_idx, inconsistent_shift)
+        left, left_idx = fix_layered_holes(left, left_idx, 1)
+        right, right_idx = fix_layered_holes(right, right_idx, -1)
+        masks = (gen_mask2(left), gen_mask2(right)) if return_mask else (None, None)
+        if fill:
+            left, right = shift_fill_pack(left, right, inconsistent_shift)
+        left = jnp.clip(left, 0.0, 1.0)
+        right = jnp.clip(right, 0.0, 1.0)
+        if return_mask:
+            return left, right, masks[0], masks[1]
+        return left, right
+
+    if synthetic_view == "right":
+        right, right_idx = unpack(_warp_one(c_packed, d, -index_shift))
+        right_idx = fill_nearest_x(right_idx, 1)
+        right, right_idx = fix_layered_holes(right, right_idx, -1)
+        mask = gen_mask2(right) if return_mask else None
+        if fill:
+            right = fill_nearest_x(right, 1)
+        right = jnp.clip(right, 0.0, 1.0)
+        if return_mask:
+            return src_image, right, None, mask
+        return src_image, right
+
+    left, left_idx = unpack(_warp_one(c_packed, d, index_shift))
+    left_idx = fill_nearest_x(left_idx, -1)
+    left, left_idx = fix_layered_holes(left, left_idx, 1)
+    mask = gen_mask2(left) if return_mask else None
+    if fill:
+        left = fill_nearest_x(left, -1)
+    left = jnp.clip(left, 0.0, 1.0)
+    if return_mask:
+        return left, src_image, mask, None
+    return left, src_image
+
+
+def apply_divergence_forward_warp(c, depth, divergence, convergence,
+                                  method=None, synthetic_view: str = "both",
+                                  return_mask: bool = False,
+                                  inconsistent_shift: bool = False,
+                                  width_base: bool = True):
+    """Reference iw3/forward_warp.py:247-257."""
+    fill = (method == "forward_fill")
+    return depth_order_bilinear_forward_warp(
+        c, depth, divergence, convergence, fill=fill,
+        synthetic_view=synthetic_view, return_mask=return_mask,
+        inconsistent_shift=inconsistent_shift, width_base=width_base)

@@ -195,3 +195,94 @@ class SEBlock(nn.Module):
         z = nn.Dense(self.channels, use_bias=self.bias, dtype=x.dtype,
                      name="fc2")(z)
         return x * jax.nn.sigmoid(z)
+
+
+def _window_score_bias_input(window_size):
+    """reference nunif/modules/attention.py:347-372 (reduction=1)."""
+    wh, ww = window_size
+    n = wh * ww
+    pos = np.stack(np.meshgrid(np.arange(wh), np.arange(ww),
+                               indexing="ij"), axis=2).reshape(n, 2)
+    delta = (pos[:, None, :] - pos[None, :, :]).reshape(n * n, 2)
+    uniq = sorted({tuple(p) for p in delta.tolist()})
+    index = np.array([uniq.index(tuple(d)) for d in delta.tolist()], np.int32)
+    uniq = np.array(uniq, np.float32)
+    uniq = uniq / np.abs(uniq).max()
+    return index, uniq
+
+
+class WindowScoreBias(nn.Module):
+    """Learned relative window attention score bias via a tiny MLP on the
+    normalized position deltas (reference nunif/modules/attention.py:375-419,
+    reduction=1)."""
+    window_size: tuple
+    hidden_dim: int = None
+    num_heads: int = None
+
+    @nn.compact
+    def __call__(self):
+        wh, ww = self.window_size
+        n = wh * ww
+        index, delta = _window_score_bias_input((wh, ww))
+        hidden = self.hidden_dim or int((wh * ww) ** 0.5) * 2
+        out_dim = self.num_heads or 1
+        b = nn.Dense(hidden, name="to_bias_0")(jnp.asarray(delta))
+        b = jax.nn.gelu(b, approximate=False)
+        b = nn.Dense(out_dim, name="to_bias_2")(b)
+        b = b[jnp.asarray(index)]
+        if self.num_heads is None:
+            return b.reshape(n, n)
+        return b.T.reshape(self.num_heads, n, n)
+
+
+class WindowMHA2d(nn.Module):
+    """Rect-window MHA, NHWC (reference nunif/modules/attention.py:118-166).
+
+    shift=(sh, sw) pads by half a window with zeros (the reference pads
+    rather than cyclic-rolls) so windows straddle the original boundaries.
+    """
+    in_channels: int
+    num_heads: int
+    window_size: tuple = (4, 4)
+    qkv_dim: int = None
+    shift: tuple = (False, False)
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        from .permute import window_partition2, window_reverse2
+        wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                  else (self.window_size, self.window_size))
+        sh, sw = (self.shift if isinstance(self.shift, (tuple, list))
+                  else (self.shift, self.shift))
+        pad_h = wh // 2 if sh else 0
+        pad_w = ww // 2 if sw else 0
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+        B, H, W, C = x.shape
+        qkv_dim = self.qkv_dim or C // self.num_heads
+        n = wh * ww
+
+        xw = window_partition2(x, (wh, ww))  # (B*, n, C)
+        qkv = nn.Dense(qkv_dim * self.num_heads * 3, dtype=x.dtype,
+                       name="qkv_proj")(xw)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(-1, n, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (qkv_dim ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            # (n,n) or (heads,n,n) score bias
+            m = attn_mask if attn_mask.ndim == 3 else attn_mask[None]
+            attn = attn + m[None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, n, self.num_heads * qkv_dim)
+        out = nn.Dense(C, dtype=x.dtype, name="head_proj")(out)
+        out = window_reverse2(out, (wh, ww), H, W)
+        if pad_h or pad_w:
+            out = out[:, pad_h:H - pad_h, pad_w:W - pad_w, :]
+        return out
