@@ -1,0 +1,209 @@
+"""iw3 CLI — 2D image to stereo 3D.
+
+Behavioral parity target: reference iw3/cli.py + iw3/utils.py:1935-2521
+(option surface subset; video options land with the video runtime).
+
+Usage:
+  python -m nunif_tpu.iw3 -i input.png -o out/ --method forward_fill \
+      --depth-model Any_V2_S --divergence 2.0 --half-sbs
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ..core.logger import logger
+from .composition import StereoFormat
+from .mapper import MAPPER_ALL
+from .anaglyph import ANAGLYPH_TYPES
+
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+VIDEO_EXTS = {".mp4", ".mkv", ".avi", ".webm", ".mov", ".m2ts", ".ts"}
+
+METHODS = ["row_flow_v3", "row_flow_v2", "row_flow_v3_sym",
+           "mlbw_l2", "mlbw_l4", "mlbw_l2s", "mlbw_l4s",
+           "forward", "forward_fill", "grid_sample", "backward", "NULL"]
+
+
+def create_parser():
+    p = argparse.ArgumentParser(prog="iw3", description=__doc__)
+    p.add_argument("--input", "-i", required=True, help="input image/dir")
+    p.add_argument("--output", "-o", required=True, help="output file/dir")
+    p.add_argument("--method", default="row_flow_v3", choices=METHODS)
+    p.add_argument("--divergence", "-d", type=float, default=2.0)
+    p.add_argument("--convergence", "-c", type=float, default=0.5)
+    p.add_argument("--depth-model", default="Any_V2_S")
+    p.add_argument("--depth-checkpoint", default=None,
+                   help="converted .nunif_tpu checkpoint for the depth model")
+    p.add_argument("--stereo-checkpoint", default=None,
+                   help="converted checkpoint for row_flow/mlbw models")
+    p.add_argument("--mapper", default=None, choices=MAPPER_ALL + [None])
+    p.add_argument("--foreground-scale", type=float, default=0)
+    p.add_argument("--synthetic-view", default="both",
+                   choices=["both", "right", "left"])
+    p.add_argument("--preserve-screen-border", action="store_true")
+    p.add_argument("--resolution", type=int, default=None,
+                   help="depth model input resolution (multiple of 14)")
+    p.add_argument("--tta", action="store_true")
+    p.add_argument("--edge-dilation", type=int, default=None)
+    p.add_argument("--rotate-left", action="store_true")
+    p.add_argument("--rotate-right", action="store_true")
+    p.add_argument("--max-output-width", type=int, default=None)
+    p.add_argument("--max-output-height", type=int, default=None)
+    p.add_argument("--keep-aspect-ratio", action="store_true")
+    # output formats
+    p.add_argument("--half-sbs", action="store_true")
+    p.add_argument("--tb", action="store_true")
+    p.add_argument("--half-tb", action="store_true")
+    p.add_argument("--cross-eyed", action="store_true")
+    p.add_argument("--anaglyph", default=None, choices=ANAGLYPH_TYPES)
+    p.add_argument("--vr180", action="store_true")
+    p.add_argument("--rgbd", action="store_true")
+    p.add_argument("--half-rgbd", action="store_true")
+    p.add_argument("--pad", type=float, default=None)
+    p.add_argument("--pad-mode", default="tblr",
+                   choices=["tblr", "tb", "lr", "16:9", "top"])
+    p.add_argument("--ipd-offset", type=float, default=0.0)
+    p.add_argument("--resume", action="store_true",
+                   help="skip existing output files")
+    p.add_argument("--recursive", action="store_true")
+    p.add_argument("--format", default="png", choices=["png", "jpeg", "webp"])
+    # video options (reference iw3/utils.py video arg subset)
+    p.add_argument("--video-codec", default="libx264")
+    p.add_argument("--crf", type=int, default=20)
+    p.add_argument("--preset", default="ultrafast")
+    p.add_argument("--pix-fmt", default="yuv420p")
+    p.add_argument("--max-fps", type=float, default=30.0)
+    p.add_argument("--video-batch", type=int, default=4)
+    p.add_argument("--ema-normalize", action="store_true",
+                   help="EMA min-max depth normalization for video")
+    p.add_argument("--ema-decay", type=float, default=0.75)
+    p.add_argument("--ema-buffer", type=int, default=30)
+    return p
+
+
+def build_config(args):
+    from .pipeline import StereoConfig
+    fmt = StereoFormat(
+        half_sbs=args.half_sbs, tb=args.tb, half_tb=args.half_tb,
+        cross_eyed=args.cross_eyed, anaglyph=args.anaglyph, vr180=args.vr180,
+        rgbd=args.rgbd, half_rgbd=args.half_rgbd, pad=args.pad,
+        pad_mode=args.pad_mode, ipd_offset=args.ipd_offset,
+        max_output_width=args.max_output_width,
+        max_output_height=args.max_output_height,
+        keep_aspect_ratio=args.keep_aspect_ratio)
+    return StereoConfig(
+        method=args.method, divergence=args.divergence,
+        convergence=args.convergence, mapper=args.mapper,
+        foreground_scale=args.foreground_scale,
+        synthetic_view=args.synthetic_view,
+        preserve_screen_border=args.preserve_screen_border,
+        rotate_left=args.rotate_left, rotate_right=args.rotate_right,
+        max_output_width=args.max_output_width,
+        max_output_height=args.max_output_height,
+        keep_aspect_ratio=args.keep_aspect_ratio, format=fmt)
+
+
+def create_stereo_model(method, checkpoint=None):
+    """reference iw3/stereo_model_factory.py:118-138."""
+    if method in {"forward", "forward_fill", "grid_sample", "backward", "NULL"}:
+        return None, None
+    from ..models import create_model
+    from ..models.io import load_model
+    from . import models as _models  # noqa: F401 (register)
+    import jax
+    if checkpoint:
+        model, params, _ = load_model(checkpoint)
+        return model, params
+    name = {
+        "row_flow_v3": "sbs.row_flow_v3", "row_flow_v2": "sbs.row_flow_v2",
+        "row_flow_v3_sym": "sbs.row_flow_v3",
+        "mlbw_l2": "sbs.mlbw_l2", "mlbw_l4": "sbs.mlbw_l4",
+        "mlbw_l2s": "sbs.mlbw_l2s", "mlbw_l4s": "sbs.mlbw_l4s",
+    }[method]
+    model = create_model(name)
+    logger.warning("stereo model %s: no checkpoint given; random init "
+                   "(structure/benchmark use only)", name)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 96, 96, 3))
+    return model, params
+
+
+def iter_inputs(input_path, recursive=False):
+    if os.path.isdir(input_path):
+        if recursive:
+            for root, _, files in os.walk(input_path):
+                for f in sorted(files):
+                    if os.path.splitext(f)[1].lower() in IMAGE_EXTS:
+                        yield os.path.join(root, f)
+        else:
+            for f in sorted(os.listdir(input_path)):
+                if os.path.splitext(f)[1].lower() in IMAGE_EXTS:
+                    yield os.path.join(input_path, f)
+    else:
+        yield input_path
+
+
+def main(argv=None):
+    args = create_parser().parse_args(argv)
+    from ..utils.pil_io import load_image, save_image
+    from .depth import create_depth_model
+    from .pipeline import process_image
+
+    cfg = build_config(args)
+    depth_model = create_depth_model(args.depth_model)
+    depth_model.load(resolution=args.resolution,
+                     checkpoint=args.depth_checkpoint)
+    side_model, side_params = create_stereo_model(
+        args.method, args.stereo_checkpoint)
+
+    edge_dilation = args.edge_dilation
+    if edge_dilation is None:
+        edge_dilation = 2  # reference default for relative-depth models
+
+    if os.path.splitext(args.input)[1].lower() in VIDEO_EXTS:
+        from ..video import VideoOutputConfig
+        from .video import process_video_full
+        vc = VideoOutputConfig(codec=args.video_codec, crf=args.crf,
+                               preset=args.preset, pix_fmt=args.pix_fmt,
+                               max_fps=args.max_fps)
+        process_video_full(
+            args.input, args.output, cfg, depth_model, side_model,
+            side_params, tta=args.tta, edge_dilation=edge_dilation,
+            batch_size=args.video_batch, video_config=vc,
+            ema_normalize=args.ema_normalize, ema_decay=args.ema_decay,
+            ema_buffer=args.ema_buffer)
+        print("processed video", file=sys.stderr)
+        return 0
+
+    is_dir_out = os.path.isdir(args.input)
+    if is_dir_out:
+        os.makedirs(args.output, exist_ok=True)
+
+    n_done = 0
+    for src in iter_inputs(args.input, args.recursive):
+        if is_dir_out:
+            base = os.path.splitext(os.path.basename(src))[0]
+            dst = os.path.join(args.output, base + "." + args.format)
+        else:
+            dst = args.output
+            if os.path.isdir(dst):
+                base = os.path.splitext(os.path.basename(src))[0]
+                dst = os.path.join(dst, base + "." + args.format)
+        if args.resume and os.path.exists(dst):
+            continue
+        x, meta = load_image(src)
+        x = x[..., :3]  # iw3 does not process alpha (reference drops it too)
+        out = process_image(x, cfg, depth_model, side_model, side_params,
+                            tta=args.tta, edge_dilation=edge_dilation)
+        save_image(np.asarray(out), dst)
+        n_done += 1
+        logger.info("iw3: %s -> %s", src, dst)
+    print(f"processed {n_done} image(s)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

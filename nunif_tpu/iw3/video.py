@@ -1,0 +1,78 @@
+"""iw3 video pipeline: batched depth -> EMA normalize -> stereo -> encode.
+
+Behavioral parity target: reference iw3/utils.py process_video_full
+(:974-1170) with the batched frame callback (:709-833).  The EMA min-max
+scaler's lookahead buffer makes output lag input by ``ema_buffer`` frames;
+the engine's variable-length-result contract (None / fewer frames / flush)
+carries that, replacing the reference's TicketLock + thread pool.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..video import VideoOutputConfig, process_video as _process_video
+from .pipeline import StereoConfig, preprocess_image, apply_divergence
+from .composition import postprocess_image
+
+
+class Iw3FrameProcessor:
+    """Stateful batch callback for nunif_tpu.video.process_video."""
+
+    def __init__(self, cfg: StereoConfig, depth_model, side_model=None,
+                 side_params=None, tta=False, edge_dilation=0):
+        self.cfg = cfg
+        self.depth_model = depth_model
+        self.side_model = side_model
+        self.side_params = side_params
+        self.tta = tta
+        self.edge_dilation = edge_dilation
+        self._rgb_queue = []
+
+    def _compose(self, depths, rgbs):
+        im = jnp.stack(rgbs)
+        depth = jnp.stack(depths)
+        left, right = apply_divergence(
+            depth, im, self.cfg, self.side_model, self.side_params,
+            metric_depth=self.depth_model.is_metric())
+        return postprocess_image(left, right, self.cfg.format)
+
+    def __call__(self, batch_u8: np.ndarray):
+        x = jnp.asarray(batch_u8.astype(np.float32) / 255.0)
+        x = preprocess_image(x, self.cfg)
+        depth = self.depth_model.infer(x, tta=self.tta,
+                                       edge_dilation=self.edge_dilation)
+        self._rgb_queue.extend(list(x))
+        normalized = self.depth_model.minmax_normalize(depth)
+        if not normalized:
+            return None
+        rgbs = self._rgb_queue[:len(normalized)]
+        del self._rgb_queue[:len(normalized)]
+        return self._compose(normalized, rgbs)
+
+    def flush(self):
+        normalized = self.depth_model.flush_minmax_normalize()
+        if not normalized:
+            self._rgb_queue.clear()
+            return None
+        rgbs = self._rgb_queue[:len(normalized)]
+        self._rgb_queue.clear()
+        return self._compose(normalized, rgbs)
+
+
+def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
+                       depth_model, side_model=None, side_params=None,
+                       tta=False, edge_dilation=0, batch_size=4,
+                       video_config: VideoOutputConfig | None = None,
+                       ema_normalize=False, ema_decay=0.75, ema_buffer=30):
+    """reference iw3/utils.py:974-1170 (video path, software encoders)."""
+    if ema_normalize:
+        depth_model.enable_ema(decay=ema_decay, buffer_size=ema_buffer)
+    else:
+        depth_model.disable_ema()
+    proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params,
+                             tta=tta, edge_dilation=edge_dilation)
+    _process_video(input_path, output_path, proc, batch_size=batch_size,
+                   config=video_config or VideoOutputConfig(),
+                   flush_callback=proc.flush)
+    depth_model.reset()

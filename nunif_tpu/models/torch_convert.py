@@ -1,0 +1,120 @@
+"""torch state_dict -> flax param conversion helpers.
+
+Needed for PSNR parity with the reference's released .pth checkpoints
+(SURVEY.md §7 hard-part 4).  Works on numpy arrays (or anything with
+``.numpy()``), no torch import required here.
+
+Layout rules:
+  Conv2d           (O,I,kh,kw)  -> HWIO (kh,kw,I,O)
+  ConvTranspose2d  (I,O,kh,kw)  -> flax ConvTranspose(transpose_kernel=True)
+                                   kernel (kh,kw,O,I)
+  Linear           (O,I)        -> (I,O)
+  LayerNorm        weight/bias  -> scale/bias
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _key(prefix, name):
+    return f"{prefix}.{name}" if prefix else name
+
+
+def conv2d(sd, prefix):
+    out = {"kernel": _np(sd[_key(prefix, "weight")]).transpose(2, 3, 1, 0)}
+    if _key(prefix, "bias") in sd:
+        out["bias"] = _np(sd[_key(prefix, "bias")])
+    return out
+
+
+def conv_transpose2d(sd, prefix):
+    # torch weight (I, O, kh, kw) -> (kh, kw, O, I) for transpose_kernel=True
+    out = {"kernel": _np(sd[_key(prefix, "weight")]).transpose(2, 3, 1, 0)}
+    if _key(prefix, "bias") in sd:
+        out["bias"] = _np(sd[_key(prefix, "bias")])
+    return out
+
+
+def linear(sd, prefix):
+    out = {"kernel": _np(sd[_key(prefix, "weight")]).T}
+    if _key(prefix, "bias") in sd:
+        out["bias"] = _np(sd[_key(prefix, "bias")])
+    return out
+
+
+def layer_norm(sd, prefix):
+    out = {}
+    if _key(prefix, "weight") in sd:
+        out["scale"] = _np(sd[_key(prefix, "weight")])
+    if _key(prefix, "bias") in sd:
+        out["bias"] = _np(sd[_key(prefix, "bias")])
+    return out
+
+
+def raw(sd, key):
+    return _np(sd[key])
+
+
+def convert_depth_anything(sd, encoder: str):
+    """Map a Depth-Anything v1/v2 torch state_dict to the flax param tree of
+    nunif_tpu.iw3.depth.depth_anything.DepthAnything."""
+    from ..iw3.depth.dinov2 import VIT_CONFIGS
+    depth = VIT_CONFIGS[encoder]["depth"]
+
+    pre = {
+        "cls_token": raw(sd, "pretrained.cls_token"),
+        "pos_embed": raw(sd, "pretrained.pos_embed"),
+        "patch_embed": conv2d(sd, "pretrained.patch_embed.proj"),
+        "norm": layer_norm(sd, "pretrained.norm"),
+    }
+    for i in range(depth):
+        b = f"pretrained.blocks.{i}"
+        pre[f"blocks_{i}"] = {
+            "norm1": layer_norm(sd, b + ".norm1"),
+            "attn": {
+                "qkv": linear(sd, b + ".attn.qkv"),
+                "proj": linear(sd, b + ".attn.proj"),
+            },
+            "ls1": {"gamma": raw(sd, b + ".ls1.gamma")},
+            "norm2": layer_norm(sd, b + ".norm2"),
+            "mlp_fc1": linear(sd, b + ".mlp.fc1"),
+            "mlp_fc2": linear(sd, b + ".mlp.fc2"),
+            "ls2": {"gamma": raw(sd, b + ".ls2.gamma")},
+        }
+
+    head = {}
+    for i in range(4):
+        head[f"projects_{i}"] = conv2d(sd, f"depth_head.projects.{i}")
+    head["resize_0"] = conv_transpose2d(sd, "depth_head.resize_layers.0")
+    head["resize_1"] = conv_transpose2d(sd, "depth_head.resize_layers.1")
+    head["resize_3"] = conv2d(sd, "depth_head.resize_layers.3")
+    for i in range(1, 5):
+        head[f"layer{i}_rn"] = conv2d(sd, f"depth_head.scratch.layer{i}_rn")
+        rf = f"depth_head.scratch.refinenet{i}"
+        block = {
+            "resConfUnit2": {
+                "conv1": conv2d(sd, rf + ".resConfUnit2.conv1"),
+                "conv2": conv2d(sd, rf + ".resConfUnit2.conv2"),
+            },
+            "out_conv": conv2d(sd, rf + ".out_conv"),
+        }
+        if i != 4:
+            # refinenet4 takes a single input; its resConfUnit1 params are
+            # dead weights in the torch checkpoint and never instantiated
+            # in the flax module
+            block["resConfUnit1"] = {
+                "conv1": conv2d(sd, rf + ".resConfUnit1.conv1"),
+                "conv2": conv2d(sd, rf + ".resConfUnit1.conv2"),
+            }
+        head[f"refinenet{i}"] = block
+    head["output_conv1"] = conv2d(sd, "depth_head.scratch.output_conv1")
+    head["output_conv2_0"] = conv2d(sd, "depth_head.scratch.output_conv2.0")
+    head["output_conv2_2"] = conv2d(sd, "depth_head.scratch.output_conv2.2")
+
+    return {"pretrained": pre, "depth_head": head}

@@ -50,17 +50,24 @@ _KERNELS = {
 
 @functools.lru_cache(maxsize=256)
 def resize_matrix(in_size: int, out_size: int, mode: str = "bicubic",
-                  antialias: bool = True) -> np.ndarray:
-    """(out_size, in_size) float32 row-stochastic resampling matrix,
-    align_corners=False (pixel-center) convention with edge clamping."""
+                  antialias: bool = True,
+                  align_corners: bool = False) -> np.ndarray:
+    """(out_size, in_size) float32 row-stochastic resampling matrix.
+    align_corners=False is the pixel-center convention; True matches torch
+    F.interpolate(align_corners=True) (corner-anchored, no antialias)."""
     kernel, support = _KERNELS[mode]
     if mode == "bicubic" and antialias:
         # torch's antialias path is PIL-compatible: cubic a=-0.5
         kernel = functools.partial(_cubic, a=-0.5)
-    scale = in_size / out_size
-    # antialias only matters when downscaling
-    filter_scale = max(scale, 1.0) if antialias else 1.0
-    out_coords = (np.arange(out_size) + 0.5) * scale - 0.5
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        filter_scale = 1.0
+        out_coords = np.arange(out_size) * scale
+    else:
+        scale = in_size / out_size
+        # antialias only matters when downscaling
+        filter_scale = max(scale, 1.0) if antialias else 1.0
+        out_coords = (np.arange(out_size) + 0.5) * scale - 0.5
     half = support * filter_scale
     lo = np.floor(out_coords - half).astype(np.int64)
     n_taps = int(np.ceil(2 * half)) + 2
@@ -83,15 +90,17 @@ def resize_matrix(in_size: int, out_size: int, mode: str = "bicubic",
 
 
 def resize(x, out_h: int, out_w: int, mode: str = "bicubic",
-           antialias: bool = True):
+           antialias: bool = True, align_corners: bool = False):
     """Resize (..., H, W, C) to (..., out_h, out_w, C)."""
     in_h, in_w = x.shape[-3], x.shape[-2]
     if (in_h, in_w) == (out_h, out_w):
         return x
     dt = x.dtype
     shape = x.shape
-    mh = jnp.asarray(resize_matrix(in_h, out_h, mode, antialias), jnp.float32)
-    mw = jnp.asarray(resize_matrix(in_w, out_w, mode, antialias), jnp.float32)
+    mh = jnp.asarray(resize_matrix(in_h, out_h, mode, antialias,
+                                   align_corners), jnp.float32)
+    mw = jnp.asarray(resize_matrix(in_w, out_w, mode, antialias,
+                                   align_corners), jnp.float32)
     # explicit-rank einsums (ellipsis einsums compile pathologically slowly
     # on the XLA CPU backend); batch dims are flattened into one axis
     xb = x.astype(jnp.float32).reshape((-1,) + shape[-3:])

@@ -1,0 +1,239 @@
+"""Video processing engine: decode -> batched device callback -> encode.
+
+Behavioral parity target: reference nunif/utils/video.py —
+``process_video`` (:956-1151), ``FixedFPSFilter`` retiming (:419),
+``FrameCallbackPool`` batched dispatch with ordered collection (:1622-1757),
+atomic output via <out>.tmp + replace (:895-913).
+
+TPU re-design: JAX dispatch is asynchronous, so a thread pool of device
+workers is unnecessary — the pipeline is
+    decode thread (native C++) -> batch -> callback() returns device array
+    (enqueued, non-blocking)     -> writer thread blocks on readiness
+which overlaps decode, TPU compute and encode with two host threads and a
+bounded queue (the reference needed ThreadPoolExecutor + TicketLock to get
+the same overlap out of synchronous CUDA calls).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import queue
+import threading
+from fractions import Fraction
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..core.logger import logger
+from . import backend
+
+
+KNOWN_CODECS = ["libx264", "libx265", "libvpx-vp9", "mpeg4", "utvideo"]
+
+
+@dataclasses.dataclass
+class VideoOutputConfig:
+    """reference nunif/utils/video.py:484 (subset: software encoders)."""
+    fps: Optional[Fraction] = None     # None = source fps
+    codec: str = "libx264"
+    pix_fmt: str = "yuv420p"
+    preset: str = "ultrafast"
+    crf: int = 20
+    max_fps: float = 30.0              # reference default processing cap
+    rgb48: bool = False
+    audio_copy: bool = True
+    output_width: Optional[int] = None
+    output_height: Optional[int] = None
+
+
+class FixedFPSRetimer:
+    """Duplicate/drop frames onto a fixed output tick grid.
+
+    Equivalent of the reference's libavfilter "fps=" graph
+    (nunif/utils/video.py:419-447) — each output tick takes the latest
+    source frame with pts <= tick time.
+    """
+
+    def __init__(self, out_fps: Fraction):
+        self.out_fps = Fraction(out_fps)
+        self.tick = 0
+        self.last_frame = None
+        self.last_pts = None
+
+    def __call__(self, frame, pts):
+        """Returns list of frames to emit for this input frame."""
+        out = []
+        if self.last_frame is None:
+            self.last_frame = frame
+            self.last_pts = pts if pts >= 0 else 0.0
+            return out
+        t = pts if pts >= 0 else self.last_pts + 1.0 / float(self.out_fps)
+        while self.tick / self.out_fps < t:
+            out.append(self.last_frame)
+            self.tick += 1
+        self.last_frame = frame
+        self.last_pts = t
+        return out
+
+    def flush(self):
+        if self.last_frame is None:
+            return []
+        out = [self.last_frame]
+        self.last_frame = None
+        self.tick += 1
+        return out
+
+
+def guess_fps(reader, max_fps: float) -> Fraction:
+    src = Fraction(reader.fps).limit_denominator(1001) if reader.fps > 0 else Fraction(30)
+    if float(src) > max_fps:
+        return Fraction(max_fps).limit_denominator(1001)
+    return src
+
+
+_SENTINEL = object()
+
+
+def process_video(input_path: str, output_path: str,
+                  batch_callback: Callable,
+                  batch_size: int = 4,
+                  config: Optional[VideoOutputConfig] = None,
+                  stop_event: Optional[threading.Event] = None,
+                  progress_callback: Optional[Callable] = None,
+                  flush_callback: Optional[Callable] = None):
+    """Run ``batch_callback(np.ndarray BHWC uint8) -> array-like BHWC uint8``
+    over all (retimed) frames of input_path, encoding into output_path.
+
+    The callback may return a JAX array — readiness is only forced in the
+    writer thread (np.asarray), keeping dispatch asynchronous.  A callback
+    holding lookahead state (e.g. EMA depth normalization) may return None
+    (or fewer frames than submitted); ``flush_callback()`` is called once at
+    end-of-stream to drain it.  Atomic output: writes to <output>.tmp then
+    renames (reference video.py:895-913).
+    """
+    config = config or VideoOutputConfig()
+    reader = backend.VideoReader(input_path, rgb48=config.rgb48)
+    out_fps = config.fps or guess_fps(reader, config.max_fps)
+
+    tmp_path = output_path + ".tmp" + os.path.splitext(output_path)[1]
+    # the writer is opened lazily from the FIRST result's shape — the
+    # callback may change frame geometry (SBS doubles width, upscalers
+    # multiply both), which the reference gets from config_callback
+    # (video.py:1005); here it is observed instead of declared
+    writer = None
+
+    results: "queue.Queue" = queue.Queue(maxsize=8)
+    write_error = []
+
+    def writer_loop():
+        nonlocal writer
+        try:
+            while True:
+                item = results.get()
+                if item is _SENTINEL:
+                    break
+                arr = np.asarray(item)  # blocks until device result ready
+                if arr.dtype != writer_dtype:
+                    arr = _to_uint(arr, writer_dtype)
+                if writer is None:
+                    h, w = arr.shape[1:3]
+                    writer = backend.VideoWriter(
+                        tmp_path,
+                        config.output_width or w, config.output_height or h,
+                        fps_num=out_fps.numerator,
+                        fps_den=out_fps.denominator,
+                        codec=config.codec, pix_fmt=config.pix_fmt,
+                        preset=config.preset, crf=config.crf,
+                        rgb48=config.rgb48,
+                        audio_source=input_path if config.audio_copy else None)
+                for frame in arr:
+                    writer.write(frame)
+        except Exception as e:  # pragma: no cover
+            write_error.append(e)
+
+    writer_dtype = np.uint16 if config.rgb48 else np.uint8
+    wt = threading.Thread(target=writer_loop, daemon=True)
+    wt.start()
+
+    retimer = FixedFPSRetimer(out_fps)
+    batch = []
+    n_in = 0
+
+    def put_result(res):
+        if res is not None:
+            results.put(res)
+
+    def submit(frames):
+        nonlocal batch
+        for f in frames:
+            batch.append(f)
+            if len(batch) >= batch_size:
+                put_result(batch_callback(np.stack(batch)))
+                batch = []
+
+    try:
+        for frame, pts in reader:
+            if stop_event is not None and stop_event.is_set():
+                break
+            if write_error:
+                raise write_error[0]
+            submit(retimer(frame, pts))
+            n_in += 1
+            if progress_callback:
+                progress_callback(n_in, reader.nb_frames)
+        submit(retimer.flush())
+        if batch:
+            put_result(batch_callback(np.stack(batch)))
+        if flush_callback is not None:
+            put_result(flush_callback())
+        results.put(_SENTINEL)
+        wt.join()
+        if write_error:
+            raise write_error[0]
+        if writer is None:
+            raise RuntimeError("no frames produced")
+        writer.close()
+        os.replace(tmp_path, output_path)
+    except Exception:
+        try:
+            if writer is not None:
+                writer.close()
+        except Exception:
+            pass
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+        raise
+    finally:
+        reader.close()
+    logger.info("process_video: %s -> %s (%d frames in)", input_path,
+                output_path, n_in)
+
+
+def _to_uint(arr, dtype):
+    if np.issubdtype(arr.dtype, np.floating):
+        maxv = 65535.0 if dtype == np.uint16 else 255.0
+        return (np.clip(arr, 0.0, 1.0) * maxv + 0.5).astype(dtype)
+    return arr.astype(dtype)
+
+
+def generate_video(output_path: str, frame_generator,
+                   width: int, height: int, fps=30,
+                   config: Optional[VideoOutputConfig] = None):
+    """Encode frames from a generator (reference video.py:1154)."""
+    config = config or VideoOutputConfig()
+    fps = Fraction(fps)
+    writer = backend.VideoWriter(
+        output_path, width, height, fps_num=fps.numerator,
+        fps_den=fps.denominator, codec=config.codec, pix_fmt=config.pix_fmt,
+        preset=config.preset, crf=config.crf, rgb48=config.rgb48)
+    writer_dtype = np.uint16 if config.rgb48 else np.uint8
+    n = 0
+    with writer:
+        for frame in frame_generator:
+            frame = np.asarray(frame)
+            if frame.dtype != writer_dtype:
+                frame = _to_uint(frame, writer_dtype)
+            writer.write(frame)
+            n += 1
+    return n

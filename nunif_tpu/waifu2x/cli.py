@@ -52,6 +52,15 @@ def create_parser():
     p.add_argument("--recursive", "-r", action="store_true")
     p.add_argument("--grayscale", action="store_true")
     p.add_argument("--image-lib", default="pil", choices=["pil"])
+    # video options (reference waifu2x/ui_utils.py video args subset)
+    p.add_argument("--video-codec", default="libx264",
+                   help="libx264/libx265/libvpx-vp9/mpeg4/utvideo")
+    p.add_argument("--crf", type=int, default=20)
+    p.add_argument("--preset", default="ultrafast")
+    p.add_argument("--pix-fmt", default="yuv420p")
+    p.add_argument("--max-fps", type=float, default=128.0)
+    p.add_argument("--video-batch", type=int, default=4,
+                   help="frames per device batch for video")
     return p
 
 
@@ -133,20 +142,25 @@ def process_images(args, w2x: Waifu2x):
 
 
 def process_video(args, w2x: Waifu2x):
-    from ..utils import video as VU
+    from .. import video as VU
 
     def frame_fn(frames):
-        # frames: (N, H, W, 3) float32
-        outs = []
-        for f in frames:
-            rgb, _ = w2x.convert(f, None, method=args.method,
-                                 noise_level=args.noise_level,
-                                 tile_size=args.tile_size,
-                                 batch_size=args.batch_size, tta=args.tta)
-            outs.append(np.asarray(rgb))
-        return np.stack(outs)
+        # frames: (N, H, W, 3) uint8 -> device float, upscale per frame,
+        # return device array (writer thread forces readiness)
+        x = frames.astype(np.float32) / 255.0
+        outs = [w2x.convert(f, None, method=args.method,
+                            noise_level=args.noise_level,
+                            tile_size=args.tile_size,
+                            batch_size=args.batch_size, tta=args.tta)[0]
+                for f in x]
+        import jax.numpy as jnp
+        return jnp.stack(outs)
 
-    VU.process_video(args.input, args.output, frame_fn)
+    config = VU.VideoOutputConfig(
+        codec=args.video_codec, crf=args.crf, preset=args.preset,
+        pix_fmt=args.pix_fmt, max_fps=args.max_fps)
+    VU.process_video(args.input, args.output, frame_fn,
+                     batch_size=args.video_batch, config=config)
 
 
 def main(argv=None):

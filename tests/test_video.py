@@ -1,0 +1,144 @@
+"""Video runtime: encode/decode round trip through the native service,
+fps retiming, process_video pipeline, audio copy survival."""
+import os
+
+import numpy as np
+import pytest
+
+from nunif_tpu.video import backend
+
+
+pytestmark = pytest.mark.skipif(not backend.available(),
+                                reason="native video backend unavailable")
+
+
+def _make_video(path, n_frames=24, w=64, h=48, fps=12, codec="libx264"):
+    from nunif_tpu.video import generate_video, VideoOutputConfig
+
+    def gen():
+        for i in range(n_frames):
+            f = np.zeros((h, w, 3), np.uint8)
+            f[:, :, 0] = int(255 * i / max(n_frames - 1, 1))
+            f[:, : (i * w) // n_frames, 1] = 200
+            yield f
+
+    generate_video(path, gen(), w, h, fps=fps,
+                   config=VideoOutputConfig(codec=codec, crf=18))
+    return path
+
+
+class TestBackend:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "t.mp4")
+        _make_video(p, n_frames=24, fps=12)
+        r = backend.VideoReader(p)
+        assert (r.width, r.height) == (64, 48)
+        assert abs(r.fps - 12) < 0.01
+        frames = [(f.copy(), pts) for f, pts in r]
+        r.close()
+        assert len(frames) == 24
+        # red ramp decodes approximately
+        red0 = frames[0][0][:, :, 0].mean()
+        red_last = frames[-1][0][:, :, 0].mean()
+        assert red_last > red0 + 150
+        # monotonic pts
+        pts = [p for _, p in frames]
+        assert all(b > a for a, b in zip(pts, pts[1:]))
+
+    def test_reader_missing_file(self):
+        with pytest.raises(IOError):
+            backend.VideoReader("/nonexistent/file.mp4")
+
+    def test_encoder_probe(self):
+        assert backend.encoder_available("libx264")
+        assert not backend.encoder_available("bogus_codec")
+
+
+class TestRetimer:
+    def test_downsample_fps(self):
+        from nunif_tpu.video import FixedFPSRetimer
+        from fractions import Fraction
+        rt = FixedFPSRetimer(Fraction(10))
+        out = []
+        for i in range(30):  # 30 fps source, 1s
+            out.extend(rt(i, i / 30.0))
+        out.extend(rt.flush())
+        assert len(out) == 11  # ~1s at 10fps (+flush)
+
+    def test_upsample_fps(self):
+        from nunif_tpu.video import FixedFPSRetimer
+        from fractions import Fraction
+        rt = FixedFPSRetimer(Fraction(20))
+        out = []
+        for i in range(10):  # 10 fps source
+            out.extend(rt(i, i / 10.0))
+        out.extend(rt.flush())
+        assert 18 <= len(out) <= 21
+        # duplicates present
+        assert len(out) > len(set(out))
+
+
+class TestProcessVideo:
+    def test_identity_pipeline(self, tmp_path):
+        from nunif_tpu.video import process_video, VideoOutputConfig
+        src = _make_video(str(tmp_path / "in.mp4"))
+        dst = str(tmp_path / "out.mp4")
+        seen = []
+
+        def cb(batch):
+            seen.append(batch.shape)
+            return batch
+
+        process_video(src, dst, cb, batch_size=5,
+                      config=VideoOutputConfig(max_fps=128, audio_copy=False))
+        assert os.path.exists(dst)
+        assert not os.path.exists(dst + ".tmp.mp4")
+        r = backend.VideoReader(dst)
+        n = sum(1 for _ in r)
+        r.close()
+        assert n == 24
+        assert all(s[1:] == (48, 64, 3) for s in seen)
+
+    def test_device_callback(self, tmp_path):
+        """Callback returning a JAX array (async dispatch path)."""
+        import jax.numpy as jnp
+        from nunif_tpu.video import process_video, VideoOutputConfig
+        src = _make_video(str(tmp_path / "in.mp4"))
+        dst = str(tmp_path / "out.mkv")
+
+        def cb(batch):
+            x = jnp.asarray(batch).astype(jnp.float32) / 255.0
+            return jnp.clip(1.0 - x, 0, 1)  # invert, float output
+
+        process_video(src, dst, cb, batch_size=4,
+                      config=VideoOutputConfig(audio_copy=False, max_fps=128))
+        r = backend.VideoReader(dst)
+        f0, _ = next(iter(r))
+        r.close()
+        assert f0[:, :, 0].mean() > 200  # inverted ramp start
+
+    def test_fps_cap(self, tmp_path):
+        from nunif_tpu.video import process_video, VideoOutputConfig
+        src = _make_video(str(tmp_path / "in.mp4"), n_frames=48, fps=24)
+        dst = str(tmp_path / "out.mp4")
+        process_video(src, dst, lambda b: b, batch_size=8,
+                      config=VideoOutputConfig(max_fps=12, audio_copy=False))
+        r = backend.VideoReader(dst)
+        assert abs(r.fps - 12) < 0.1
+        n = sum(1 for _ in r)
+        r.close()
+        assert 22 <= n <= 26  # 2s at 12fps
+
+    def test_error_cleans_tmp(self, tmp_path):
+        from nunif_tpu.video import process_video, VideoOutputConfig
+        src = _make_video(str(tmp_path / "in.mp4"))
+        dst = str(tmp_path / "out.mp4")
+
+        def bad(batch):
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            process_video(src, dst, bad, batch_size=4,
+                          config=VideoOutputConfig(audio_copy=False))
+        assert not os.path.exists(dst)
+        assert not any(f.startswith("out.mp4.tmp") for f in os.listdir(tmp_path))
