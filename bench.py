@@ -2,6 +2,15 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline bar: 30 FPS = "real-time 1080p->4K" north star (BASELINE.md).
+
+Methodology: the whole render (uint8 frame -> pad -> tiles -> swin_unet_2x
+with the fused Pallas window-attention kernel -> seam blend -> crop ->
+uint8) is ONE jitted device program (TiledRenderer.frame_program).  Each
+frame pays its host->HBM input transfer; outputs are consumed on device
+(as the encoder stage of the video pipeline would) with a checksum read
+back at the end.  Set BENCH_D2H=1 to include a full device->host frame
+readback per frame (in this harness that measures the axon tunnel's
+~25 MB/s d2h path, not the chip).
 """
 import json
 import os
@@ -12,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def main():
@@ -23,22 +33,32 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
 
-    rng = np.random.default_rng(0)
-    frame = rng.uniform(size=(1080, 1920, 3)).astype(np.float32)
-
     tile_size = int(os.environ.get("BENCH_TILE", "640"))
     batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    include_d2h = os.environ.get("BENCH_D2H", "0") == "1"
+
+    prog = renderer.frame_program(1080, 1920, 3, tile_size=tile_size,
+                                  batch_size=batch_size)
+    cksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.uint32)))
+
+    rng = np.random.default_rng(0)
+    frame = (rng.uniform(size=(1080, 1920, 3)) * 255).astype(np.uint8)
 
     # warmup / compile
-    y = renderer.render(frame, tile_size=tile_size, batch_size=batch_size)
-    jax.block_until_ready(y)
-    assert y.shape == (2160, 3840, 3), y.shape
+    y = prog(renderer.params, jnp.asarray(frame))
+    assert y.shape == (2160, 3840, 3) and y.dtype == jnp.uint8, (y.shape, y.dtype)
+    _ = int(cksum(y))
 
-    n = int(os.environ.get("BENCH_FRAMES", "10"))
+    n = int(os.environ.get("BENCH_FRAMES", "20"))
     t0 = time.perf_counter()
-    for _ in range(n):
-        y = renderer.render(frame, tile_size=tile_size, batch_size=batch_size)
-    jax.block_until_ready(y)
+    if include_d2h:
+        for _ in range(n):
+            y = np.asarray(prog(renderer.params, jnp.asarray(frame)))
+    else:
+        s = None
+        for _ in range(n):
+            s = cksum(prog(renderer.params, jnp.asarray(frame)))
+        _ = int(s)
     dt = time.perf_counter() - t0
     fps = n / dt
 

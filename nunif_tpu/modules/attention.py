@@ -61,6 +61,7 @@ class ShiftedWindowAttention(nn.Module):
     window_size: int = 6
     shift_size: int = 0
     qkv_bias: bool = True
+    fused: bool = None  # None = auto (Pallas kernel on TPU, XLA elsewhere)
 
     @nn.compact
     def __call__(self, x):
@@ -78,12 +79,34 @@ class ShiftedWindowAttention(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=x.dtype, name="qkv")
         proj = nn.Dense(c, dtype=x.dtype, name="proj")
 
+        idx = relative_position_index(ws, ws)
+        rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # (H, N, N)
+
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
 
         nh, nw = h // ws, w // ws
+
+        use_fused = self.fused
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+
         xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(b * nh * nw, n, c)
+
+        if use_fused:
+            from ..ops.swin_attention import fused_window_attention
+            out = fused_window_attention(
+                qkv(xw), rel_bias.astype(jnp.float32),
+                num_heads=self.num_heads, window=ws, shift=shift,
+                n_wh=nh, n_ww=nw)
+            out = proj(out)
+            out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+            out = out.reshape(b, h, w, c)
+            if shift > 0:
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+            return out
 
         qkv_out = qkv(xw).reshape(-1, n, 3, self.num_heads, head_dim)
         q = qkv_out[:, :, 0].transpose(0, 2, 1, 3)  # (BW, H, N, d)
@@ -92,10 +115,6 @@ class ShiftedWindowAttention(nn.Module):
         q = q * (head_dim ** -0.5)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
-
-        idx = relative_position_index(ws, ws)
-        rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-        rel_bias = rel_bias.transpose(2, 0, 1)  # (H, N, N)
         attn = attn + rel_bias[None].astype(attn.dtype)
 
         if shift > 0:

@@ -1,0 +1,268 @@
+"""Fused (shifted-)window attention — Pallas TPU kernel.
+
+Why: the XLA lowering of window attention materializes the per-window score
+tensor (nw, heads, N, N) in fp32 in HBM with ~4x tile padding (N=36 pads to
+(40,128) lanes) plus a baked (nw, N, N) shift-mask constant — measured 4.95GB
+of HLO temps and ~85ms/layer for a (4,624,624,96) input on v5e.  This kernel
+keeps scores entirely in VMEM, never materializes the mask (the swin shift
+mask is *computed arithmetically* from the window's grid position), and
+streams windows through in blocks.
+
+MXU packing: windows are tiny (N=36 or 64 tokens) against the 128-lane MXU,
+so ``pack = 128 // N`` windows are concatenated along the token axis and
+attended jointly with a block-diagonal mask — off-diagonal scores are set to
+-inf before the softmax, making the packed PV matmul *exactly* the per-window
+result while using a 108- or 128-wide MXU pass instead of 3-4 narrow ones.
+
+Layout: windows arrive as (nw, N, 3C) packed QKV (already projected — the
+projections are dense matmuls XLA already runs well).  Output (nw, N, C).
+
+Shift-mask arithmetic: with torch.roll(-s) + window partition, only the last
+window row/column contains wrapped tokens.  Token (ti, tj) of a last-row
+window belongs to the wrapped region iff ti >= ws - s (same for columns), so
+the region id is 2 bits and masking region_i != region_j reproduces the
+reference mask (as an additive -100, the torchvision value).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
+            window, shift, n_wh, n_ww, block_packs, pack):
+    ws = window
+    N = n_tokens
+    NP = N * pack
+    C = num_heads * head_dim
+    blk = pl.program_id(0)
+
+    # token -> packed-window index within the pack group
+    tok_win = jax.lax.broadcasted_iota(jnp.int32, (block_packs, NP), 1) // N
+    # block-diagonal validity: same packed window
+    blockdiag = tok_win[:, :, None] == tok_win[:, None, :]
+
+    if shift > 0:
+        # global window index of every token (block_packs, NP)
+        w0 = blk * block_packs * pack
+        widx = (w0
+                + jax.lax.broadcasted_iota(jnp.int32, (block_packs, NP), 0) * pack
+                + tok_win)
+        wr = (widx // n_ww) % n_wh
+        wc = widx % n_ww
+        t = jax.lax.broadcasted_iota(jnp.int32, (block_packs, NP), 1) % N
+        ti = t // ws
+        tj = t % ws
+        wrapped_r = jnp.where((wr == n_wh - 1) & (ti >= ws - shift), 1, 0)
+        wrapped_c = jnp.where((wc == n_ww - 1) & (tj >= ws - shift), 2, 0)
+        region = wrapped_r + wrapped_c  # (BP, NP)
+        same_region = region[:, :, None] == region[:, None, :]
+    else:
+        same_region = None
+
+    qkv = qkv_ref[:]  # (BP, NP, 3C)
+    scale = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+    for h in range(num_heads):
+        # keep MXU inputs in the native (bf16) dtype — fp32 accumulation via
+        # preferred_element_type; fp32 input copies would double VMEM traffic
+        q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, :, C + h * head_dim:C + (h + 1) * head_dim]
+        v = qkv[:, :, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+        scores = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (BP, NP, NP)
+        # tile the (N, N) bias across the pack grid; off-diagonal blocks get
+        # the wrong bias but are -inf masked below anyway
+        bias_h = jnp.tile(bias_ref[h].astype(jnp.float32), (pack, pack))
+        scores = scores + bias_h[None]
+        if same_region is not None:
+            # -100.0 matches the torchvision/XLA mask value exactly
+            scores = jnp.where(same_region, scores, scores - 100.0)
+        scores = jnp.where(blockdiag, scores, -jnp.inf)
+        scores = jax.nn.softmax(scores, axis=-1)
+        o = jax.lax.dot_general(
+            scores.astype(qkv.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (BP, NP, d)
+        out_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "shift", "n_wh", "n_ww",
+                     "block_windows", "interpret"))
+def fused_window_attention(qkv, bias, *, num_heads, window, shift,
+                           n_wh, n_ww, block_windows=48, interpret=False):
+    """qkv: (nw, N, 3C) with window order (batch, win_row, win_col);
+    bias: (heads, N, N) fp32 relative position bias.
+    Returns (nw, N, C) in qkv's dtype.
+    """
+    nw, N, c3 = qkv.shape
+    C = c3 // 3
+    head_dim = C // num_heads
+    assert N == window * window
+
+    # MXU token packing; prefer a pack that divides nw so no host-visible
+    # pad copy of the (large) qkv array is needed.  NOTE: measured neutral
+    # for N=36 on v5e (pack 2/3 ~= pack 1); enabled only when N packs to
+    # exactly 128 lanes (N=64), where it clearly helps.
+    pack = 2 if N * 2 == 128 else 1
+    while pack > 1 and nw % pack:
+        pack -= 1
+    # largest block (in windows) <= requested that divides nw
+    bw = max(pack, (block_windows // pack) * pack)
+    while bw > pack and (nw % bw):
+        bw -= pack
+    n_pad = (-nw) % bw
+    if n_pad:  # only when even `pack` windows don't divide (odd nw)
+        qkv = jnp.pad(qkv, ((0, n_pad), (0, 0), (0, 0)))
+    nw_p = nw + n_pad
+    block_windows = bw
+    block_packs = block_windows // pack
+    qkv = qkv.reshape(nw_p // pack, N * pack, c3)
+    grid = (nw_p // block_windows,)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, num_heads=num_heads, head_dim=head_dim, n_tokens=N,
+            window=window, shift=shift, n_wh=n_wh, n_ww=n_ww,
+            block_packs=block_packs, pack=pack),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_packs, N * pack, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_packs, N * pack, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw_p // pack, N * pack, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias)
+    out = out.reshape(nw_p, N, C)
+    if n_pad:
+        out = out[:nw]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# v2: image-layout kernel — consumes (B*nH, ws, W, 3C) directly; the window
+# partition happens as a VMEM transpose inside the kernel, eliminating the
+# HBM round trip of the reshape/transpose partition (profiled at ~2x the
+# kernel's own cost).
+
+def _kernel_img(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, window,
+                shift, n_wh, n_ww, wchunk, pack):
+    ws = window
+    N = ws * ws
+    NP = N * pack
+    C = num_heads * head_dim
+    bp = wchunk // pack
+
+    x = qkv_ref[0]                                   # (ws, wchunk*ws, 3C)
+    x = x.reshape(ws, wchunk, ws, 3 * C)
+    x = x.transpose(1, 0, 2, 3)                      # (wchunk, ws, ws, 3C) VMEM
+    qkv = x.reshape(bp, NP, 3 * C)
+
+    tok_win = jax.lax.broadcasted_iota(jnp.int32, (bp, NP), 1) // N
+    blockdiag = tok_win[:, :, None] == tok_win[:, None, :]
+
+    if shift > 0:
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        wr = i % n_wh
+        wc = (j * wchunk
+              + jax.lax.broadcasted_iota(jnp.int32, (bp, NP), 0) * pack
+              + tok_win)
+        t = jax.lax.broadcasted_iota(jnp.int32, (bp, NP), 1) % N
+        ti = t // ws
+        tj = t % ws
+        wrapped_r = jnp.where((wr == n_wh - 1) & (ti >= ws - shift), 1, 0)
+        wrapped_c = jnp.where((wc == n_ww - 1) & (tj >= ws - shift), 2, 0)
+        region = wrapped_r + wrapped_c
+        same_region = region[:, :, None] == region[:, None, :]
+    else:
+        same_region = None
+
+    scale = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+    for h in range(num_heads):
+        q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, :, C + h * head_dim:C + (h + 1) * head_dim]
+        v = qkv[:, :, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+        scores = jax.lax.dot_general(
+            q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        bias_h = jnp.tile(bias_ref[h].astype(jnp.float32), (pack, pack))
+        scores = scores + bias_h[None]
+        if same_region is not None:
+            scores = jnp.where(same_region, scores, scores - 100.0)
+        scores = jnp.where(blockdiag, scores, -jnp.inf)
+        scores = jax.nn.softmax(scores, axis=-1)
+        o = jax.lax.dot_general(
+            scores.astype(qkv.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # (bp, NP, d)
+        # back to image layout, head slice written directly
+        y = o.astype(out_ref.dtype).reshape(wchunk, ws, ws, head_dim)
+        y = y.transpose(1, 0, 2, 3).reshape(ws, wchunk * ws, head_dim)
+        out_ref[0, :, :, h * head_dim:(h + 1) * head_dim] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "shift", "interpret"))
+def fused_window_attention_image(qkv_img, bias, *, num_heads, window, shift,
+                                 interpret=False):
+    """qkv_img: (B, H, W, 3C) AFTER any cyclic roll, H and W multiples of
+    window.  Returns (B, H, W, C) attended output in the image layout —
+    no window partition ever touches HBM.
+    """
+    B, H, W, c3 = qkv_img.shape
+    C = c3 // 3
+    head_dim = C // num_heads
+    ws = window
+    N = ws * ws
+    n_wh, n_ww = H // ws, W // ws
+
+    pack = max(1, 128 // N)
+    while pack > 1 and n_ww % pack:
+        pack -= 1
+    # W chunking: largest divisor of n_ww that is a multiple of pack,
+    # <= 32 windows (VMEM blocks ~1-2MB), and whose pixel width is a
+    # multiple of 8 (Mosaic sublane-block constraint)
+    # NOTE: measured slower than fused_window_attention + XLA partition on
+    # v5e (in-kernel sublane transposes dominate at small chunks; full-row
+    # blocks explode compile time) — kept for future Mosaic improvements.
+    wchunk = n_ww
+    for cand in range(min(32, n_ww), pack - 1, -1):
+        if (cand % pack == 0 and n_ww % cand == 0
+                and (cand * ws) % 8 == 0):
+            wchunk = cand
+            break
+    x = qkv_img.reshape(B * n_wh, ws, W, c3)
+    grid = (B * n_wh, n_ww // wchunk)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_img, num_heads=num_heads, head_dim=head_dim, window=ws,
+            shift=shift, n_wh=n_wh, n_ww=n_ww, wchunk=wchunk, pack=pack),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, wchunk * ws, c3), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, wchunk * ws, C),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * n_wh, ws, W, C), qkv_img.dtype),
+        interpret=interpret,
+    )(x, bias)
+    return out.reshape(B, H, W, C)

@@ -229,6 +229,50 @@ class TiledRenderer:
         y_full = program(self.params, x_padded)
         return y_full[:cfg.y_h, :cfg.y_w, :]
 
+    def frame_program(self, h: int, w: int, c: int = 3,
+                      tile_size=None, batch_size=None,
+                      in_dtype="uint8", out_dtype="uint8"):
+        """Fully-fused fixed-geometry render: pad -> tiles -> model -> blend
+        -> crop -> quantize, ONE jitted program, uint8 in/out by default.
+
+        This is the video hot path: a (h, w, c) uint8 frame crosses
+        host->HBM as 1 byte/px and the result leaves as 1 byte/px — the
+        float conversion both ways runs on device.  Returns
+        ``program(params, frame) -> (h*scale, w*scale, C_out)``.
+        """
+        model = self.model
+        tile_size = model.find_valid_tile_size(tile_size)
+        batch_size = int(batch_size or model.i2i_default_batch_size)
+        cfg = make_tile_config(h, w, model.i2i_scale, model.i2i_offset,
+                               tile_size, model.i2i_blend_size)
+        left, right, top, bottom = cfg.pad
+        out_channels = getattr(model, "out_channels", c)
+        inner = _build_render_program(
+            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_size,
+            batch_size, c, out_channels, cfg.scale, cfg.offset,
+            cfg.blend_size, cfg.input_tile_step, cfg.output_tile_step,
+            jnp.dtype(self.policy.compute_dtype).name)
+        in_dt = jnp.dtype(in_dtype)
+        out_dt = jnp.dtype(out_dtype)
+
+        @jax.jit
+        def program(params, frame):
+            x = frame
+            if in_dt == jnp.uint8:
+                x = x.astype(jnp.float32) * (1.0 / 255.0)
+            elif in_dt == jnp.uint16:
+                x = x.astype(jnp.float32) * (1.0 / 65535.0)
+            x = jnp.pad(x, ((top, bottom), (left, right), (0, 0)),
+                        mode="edge")
+            y = inner(params, x)[:cfg.y_h, :cfg.y_w, :]
+            if out_dt == jnp.uint8:
+                y = jnp.round(y * 255.0).astype(jnp.uint8)
+            elif out_dt == jnp.uint16:
+                y = jnp.round(y * 65535.0).astype(jnp.uint16)
+            return y
+
+        return program
+
 
 def simple_render(x, model, params, policy: Policy = DEFAULT_POLICY):
     """Whole-image render (reference: nunif/utils/render.py:22-44).

