@@ -79,6 +79,31 @@ def save_model(model: Model, params, model_path: str,
     logger.debug("saved model %s -> %s", model.model_name, model_path)
 
 
+_APP_PACKAGES = {
+    "waifu2x": "nunif_tpu.waifu2x",
+    "sbs": "nunif_tpu.iw3.models",
+    "iw3": "nunif_tpu.iw3",
+    "cliqa": "nunif_tpu.cliqa",
+    "imagenet": "nunif_tpu.imagenet",
+    "stlizer": "nunif_tpu.stlizer",
+    "dino": "nunif_tpu.dino",
+}
+
+
+def _ensure_registered(name: str):
+    """Import the app package owning ``name`` so its models register —
+    the checkpoint is self-describing regardless of caller imports
+    (reference load_model does this via eager global registration)."""
+    import importlib
+    prefix = name.split(".", 1)[0]
+    pkg = _APP_PACKAGES.get(prefix)
+    if pkg:
+        try:
+            importlib.import_module(pkg)
+        except ImportError:
+            pass
+
+
 def load_model(model_path: str, device=None) -> Tuple[Model, dict, dict]:
     """Load (model, params, meta) reconstructing the architecture by name."""
     with zipfile.ZipFile(model_path, "r") as zf:
@@ -91,6 +116,7 @@ def load_model(model_path: str, device=None) -> Tuple[Model, dict, dict]:
                 continue
             key = info.filename[:-len(".npy")]
             flat[key] = np.load(io.BytesIO(zf.read(info)), allow_pickle=False)
+    _ensure_registered(meta["name"])
     model = create_model(meta["name"], **(meta.get("kwargs") or {}))
     params = unflatten_params(flat)
     params = jax.device_put(params, device) if device is not None else params
