@@ -36,3 +36,10 @@ def tta_merge(xs):
            + _itr(x_t) + _itr(_hflip(x_th)) + _itr(_vflip(x_tv))
            + _itr(_vflip(_hflip(x_tvh)))) / 8.0
     return jnp.clip(avg, 0.0, 1.0)
+
+
+def tta_render(renderer, x, tile_size=None, batch_size=None):
+    """8-way TTA through a TiledRenderer (reference waifu2x/utils.py:218-254)."""
+    outs = [renderer.render(xx, tile_size=tile_size, batch_size=batch_size)
+            for xx in tta_split(x)]
+    return tta_merge(outs)

@@ -1,0 +1,191 @@
+"""Aux models: TransNetV2, U2NETP, AutoCrop, shot boundary, generic CLIs."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestTransNetV2:
+    def test_forward_shapes(self):
+        from nunif_tpu.utils.transnetv2 import TransNetV2
+        m = TransNetV2(F=4, D=64)  # tiny config for test speed
+        params = m.init_params(jax.random.PRNGKey(0), (1, 8, 27, 48, 3))
+        one_hot, many_hot = m.apply_fn(
+            params, jnp.zeros((1, 8, 27, 48, 3)))
+        assert one_hot.shape == (1, 8, 1)
+        assert many_hot.shape == (1, 8, 1)
+
+
+class TestU2NETP:
+    def test_forward(self):
+        from nunif_tpu.utils.u2netp import U2NETP
+        m = U2NETP()
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        outs = m.apply_fn(params, jnp.zeros((1, 64, 64, 3)))
+        assert len(outs) == 7
+        for d in outs:
+            assert d.shape == (1, 64, 64, 1)
+            assert float(jnp.min(d)) >= 0 and float(jnp.max(d)) <= 1
+
+
+class TestAutoCrop:
+    def test_black_bars_tb(self):
+        from nunif_tpu.utils.autocrop import AutoCropDetector
+        rng = np.random.default_rng(0)
+        frame = rng.uniform(0.2, 1.0, size=(72, 96, 3)).astype(np.float32)
+        frame[:10] = 0.0
+        frame[-10:] = 0.0
+        det = AutoCropDetector(mode="black", mod=2)
+        det.update(frame)
+        tb, lr = det.get_crop()
+        assert tb.start == 10 and tb.stop == 62
+        assert lr == slice(None, None)
+
+    def test_no_bars(self):
+        from nunif_tpu.utils.autocrop import AutoCropDetector
+        rng = np.random.default_rng(1)
+        frame = rng.uniform(0.3, 1.0, size=(64, 64, 3)).astype(np.float32)
+        det = AutoCropDetector(mode="black")
+        det.update(frame)
+        tb, lr = det.get_crop()
+        assert tb == slice(None, None) and lr == slice(None, None)
+
+    def test_mod_alignment(self):
+        from nunif_tpu.utils.autocrop import _apply_mod
+        assert _apply_mod(slice(3, 61), 4) == slice(4, 60)
+        assert _apply_mod(slice(None, None), 4) == slice(None, None)
+
+    def test_flat_bars_lr(self):
+        from nunif_tpu.utils.autocrop import AutoCropDetector
+        rng = np.random.default_rng(2)
+        frame = rng.uniform(0.0, 1.0, size=(64, 96, 3)).astype(np.float32)
+        frame[:, :8] = 0.7  # flat gray bars
+        frame[:, -8:] = 0.7
+        det = AutoCropDetector(mode="flat_lr", mod=2)
+        det.update(frame)
+        tb, lr = det.get_crop()
+        assert lr.start == 8 and lr.stop == 88
+
+
+class TestShotBoundary:
+    def test_histogram_detector(self, tmp_path):
+        from nunif_tpu.video import backend
+        if not backend.available():
+            pytest.skip("no video backend")
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+        from nunif_tpu.utils.shot_boundary import detect_boundaries
+        rng = np.random.default_rng(0)
+        a = (rng.uniform(size=(48, 64, 3)) * 80).astype(np.uint8)  # dark
+        b = (rng.uniform(size=(48, 64, 3)) * 80 + 170).astype(np.uint8)  # bright
+
+        def gen():
+            for i in range(20):
+                yield a if i < 10 else b
+
+        src = str(tmp_path / "v.mp4")
+        generate_video(src, gen(), 64, 48, fps=10,
+                       config=VideoOutputConfig(crf=18))
+        bounds = detect_boundaries(src, threshold=0.3, min_frames=3)
+        assert any(8 <= b_ <= 12 for b_ in bounds), bounds
+
+
+class TestGenericCLIs:
+    def test_count_parameters(self, capsys):
+        from nunif_tpu.cli.count_parameters import main
+        assert main(["--arch", "waifu2x.vgg_7"]) == 0
+        out = capsys.readouterr().out
+        assert "parameters" in out
+
+    def test_merge_model(self, tmp_path):
+        import jax
+        from nunif_tpu.models import create_model
+        from nunif_tpu.models.io import save_model, load_model
+        import nunif_tpu.waifu2x  # noqa
+        m = create_model("waifu2x.vgg_7")
+        p1 = m.init_params(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        p2 = m.init_params(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        f1, f2 = str(tmp_path / "a.nztm"), str(tmp_path / "b.nztm")
+        save_model(m, p1, f1)
+        save_model(m, p2, f2)
+        from nunif_tpu.cli.merge_model import main
+        out = str(tmp_path / "m.nztm")
+        assert main(["-i", f1, f2, "-o", out]) == 0
+        _, merged, _ = load_model(out)
+        a = jax.tree.leaves(p1)[0]
+        b = jax.tree.leaves(p2)[0]
+        c = jax.tree.leaves(merged)[0]
+        np.testing.assert_allclose(np.asarray(c),
+                                   (np.asarray(a) + np.asarray(b)) / 2,
+                                   atol=1e-6)
+
+    def test_diff_image(self, tmp_path, capsys):
+        from nunif_tpu.utils.pil_io import save_image
+        rng = np.random.default_rng(3)
+        x = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+        save_image(x, str(tmp_path / "a.png"))
+        save_image(x, str(tmp_path / "b.png"))
+        from nunif_tpu.cli.diff_image import main
+        assert main([str(tmp_path / "a.png"), str(tmp_path / "b.png")]) == 0
+        assert "PSNR" in capsys.readouterr().out
+
+    def test_show_train_args(self, tmp_path, capsys):
+        import jax
+        from nunif_tpu.models import create_model
+        from nunif_tpu.models.io import save_model
+        import nunif_tpu.waifu2x  # noqa
+        m = create_model("waifu2x.vgg_7")
+        p = m.init_params(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        f = str(tmp_path / "a.nztm")
+        save_model(m, p, f, train_kwargs={"loss": "lbp"})
+        from nunif_tpu.cli.show_train_args import main
+        assert main(["-m", f]) == 0
+        assert "lbp" in capsys.readouterr().out
+
+
+class TestL4SN:
+    def test_feature_levels(self):
+        from nunif_tpu.dino.l4sn import L4SNFeature, l4sn_feature_loss
+        m = L4SNFeature()
+        params = m.init_params(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        feats = m.apply_fn(params, jnp.zeros((1, 32, 32, 3)))
+        assert [f.shape[-1] for f in feats] == [64, 128, 256, 512]
+        assert feats[0].shape[1] == 16 and feats[-1].shape[1] == 2
+        x = jnp.zeros((1, 32, 32, 3))
+        y = jnp.ones((1, 32, 32, 3)) * 0.3
+        loss = float(l4sn_feature_loss(m, params, x, y, swd_weight=0.1))
+        assert np.isfinite(loss) and loss > 0
+        assert float(l4sn_feature_loss(m, params, x, x)) < 1e-6
+
+
+class TestImagenetModels:
+    def test_vgg11(self):
+        from nunif_tpu.models import create_model
+        import nunif_tpu.imagenet  # noqa
+        m = create_model("imagenet.vgg11", num_classes=10)
+        p = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        logits = m.apply_fn(p, jnp.zeros((2, 64, 64, 3)))
+        assert logits.shape == (2, 10)
+
+    def test_swin_t(self):
+        from nunif_tpu.models import create_model
+        import nunif_tpu.imagenet  # noqa
+        m = create_model("imagenet.swin_t", num_classes=5,
+                         depths=(1, 1), heads=(3, 6))
+        p = m.init_params(jax.random.PRNGKey(0), (1, 56, 56, 3))
+        logits = m.apply_fn(p, jnp.zeros((1, 56, 56, 3)))
+        assert logits.shape == (1, 5)
+
+    def test_imagefolder_dataset(self, tmp_path):
+        from nunif_tpu.imagenet.training import ImageFolderDataset
+        from nunif_tpu.waifu2x.training.generators import gen_screentone
+        for cls in ("a", "b"):
+            d = tmp_path / "train" / cls
+            d.mkdir(parents=True)
+            for i in range(2):
+                gen_screentone(64, seed=i).save(d / f"{i}.png")
+        ds = ImageFolderDataset(str(tmp_path / "train"), size=32)
+        assert ds.classes == ["a", "b"]
+        b = next(iter(ds.batches(2)))
+        assert b["x"].shape == (2, 32, 32, 3)
+        assert b["y"].shape == (2,)
