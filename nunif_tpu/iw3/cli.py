@@ -82,6 +82,9 @@ def create_parser():
                    help="EMA min-max depth normalization for video")
     p.add_argument("--ema-decay", type=float, default=0.75)
     p.add_argument("--ema-buffer", type=int, default=30)
+    p.add_argument("--export", action="store_true",
+                   help="export RGB + 16-bit depth + iw3_export.yml instead "
+                        "of rendering (input a .yml to re-import)")
     return p
 
 
@@ -146,6 +149,82 @@ def iter_inputs(input_path, recursive=False):
         yield input_path
 
 
+def export_main(args, cfg, depth_model):
+    """Export mode (reference iw3 --export, iw3/utils.py export path)."""
+    import datetime
+    import jax.numpy as jnp
+    from ..utils.pil_io import load_image, save_image
+    from .depth.base import BaseDepthModel
+    from .export_config import ExportConfig, IMAGE_TYPE, FILENAME
+    from .pipeline import preprocess_image
+
+    rgb_dir = os.path.join(args.output, "rgb")
+    depth_dir = os.path.join(args.output, "depth")
+    os.makedirs(rgb_dir, exist_ok=True)
+    os.makedirs(depth_dir, exist_ok=True)
+    n = 0
+    for src in iter_inputs(args.input, args.recursive):
+        x, meta = load_image(src)
+        x = x[..., :3][None]
+        x = preprocess_image(x, cfg)
+        depth = depth_model.infer(x, tta=args.tta,
+                                  edge_dilation=args.edge_dilation or 0)
+        d = depth[0]
+        dmin, dmax = float(jnp.min(d)), float(jnp.max(d))
+        dn = (d - dmin) / max(dmax - dmin, 1e-6)
+        base = os.path.splitext(os.path.basename(src))[0]
+        save_image(np.asarray(x[0]), os.path.join(rgb_dir, base + ".png"))
+        BaseDepthModel.save_normalized_depth(
+            dn, os.path.join(depth_dir, base + ".png"),
+            min_depth_value=dmin, max_depth_value=dmax)
+        n += 1
+    ExportConfig(IMAGE_TYPE, basename=os.path.basename(args.input),
+                 mapper=cfg.resolved_mapper(depth_model.is_metric()),
+                 divergence=args.divergence, convergence=args.convergence,
+                 updated_at=datetime.datetime.now().isoformat()).save(
+        os.path.join(args.output, FILENAME))
+    print(f"exported {n} image(s)", file=sys.stderr)
+    return 0
+
+
+def import_main(args, cfg):
+    """Render from an exported rgb+depth dir (input: iw3_export.yml)."""
+    import jax.numpy as jnp
+    from ..utils.pil_io import load_image, save_image
+    from .depth.base import BaseDepthModel
+    from .export_config import ExportConfig
+    from .pipeline import apply_divergence
+    from .composition import postprocess_image
+
+    base_dir = os.path.dirname(os.path.abspath(args.input))
+    ecfg = ExportConfig.load(args.input)
+    rgb_dir, depth_dir = ecfg.resolve_paths(base_dir)
+    if ecfg.mapper and args.mapper is None:
+        cfg.mapper = "none" if ecfg.skip_mapper else ecfg.mapper
+    side_model, side_params = create_stereo_model(
+        args.method, args.stereo_checkpoint)
+    os.makedirs(args.output, exist_ok=True)
+    n = 0
+    for f in sorted(os.listdir(rgb_dir)):
+        if os.path.splitext(f)[1].lower() not in IMAGE_EXTS:
+            continue
+        x, meta = load_image(os.path.join(rgb_dir, f))
+        x = jnp.asarray(x[..., :3][None])
+        depth, _meta = BaseDepthModel.load_depth(
+            os.path.join(depth_dir, os.path.splitext(f)[0] + ".png"))
+        d = jnp.asarray(depth)[None]
+        dmin, dmax = float(jnp.min(d)), float(jnp.max(d))
+        d = (d - dmin) / max(dmax - dmin, 1e-6)
+        left, right = apply_divergence(d, x, cfg, side_model, side_params)
+        out = postprocess_image(left, right, cfg.format)
+        save_image(np.asarray(out[0]),
+                   os.path.join(args.output,
+                                os.path.splitext(f)[0] + "." + args.format))
+        n += 1
+    print(f"imported {n} image(s)", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     args = create_parser().parse_args(argv)
     from ..utils.pil_io import load_image, save_image
@@ -153,9 +232,13 @@ def main(argv=None):
     from .pipeline import process_image
 
     cfg = build_config(args)
+    if args.input.lower().endswith((".yml", ".yaml")):
+        return import_main(args, cfg)
     depth_model = create_depth_model(args.depth_model)
     depth_model.load(resolution=args.resolution,
                      checkpoint=args.depth_checkpoint)
+    if args.export:
+        return export_main(args, cfg, depth_model)
     side_model, side_params = create_stereo_model(
         args.method, args.stereo_checkpoint)
 

@@ -118,3 +118,81 @@ def convert_depth_anything(sd, encoder: str):
     head["output_conv2_2"] = conv2d(sd, "depth_head.scratch.output_conv2.2")
 
     return {"pretrained": pre, "depth_head": head}
+
+
+def convert_swin_unet(sd, base_dim: int = 96, base_layers: int = 2,
+                      scale_factor: int = 2):
+    """Map a reference waifu2x swin_unet .pth state_dict
+    (waifu2x/models/swin_unet.py:119-199, torchvision SwinTransformerBlock
+    V1 internals) to the flax tree of nunif_tpu waifu2x.swin_unet_*."""
+    def swin_blocks(prefix, num_layers):
+        out = {}
+        for i in range(num_layers):
+            b = f"{prefix}.block.{i}"
+            blk = {
+                "attn": {
+                    "qkv": linear(sd, b + ".attn.qkv"),
+                    "proj": linear(sd, b + ".attn.proj"),
+                    "relative_position_bias_table": raw(
+                        sd, b + ".attn.relative_position_bias_table"),
+                },
+                "mlp": {
+                    "fc1": linear(sd, b + ".mlp.0"),
+                    "fc2": linear(sd, b + ".mlp.3"),
+                },
+            }
+            # norm layers exist only in layer_norm variants
+            if b + ".norm1.weight" in sd:
+                blk["norm1"] = layer_norm(sd, b + ".norm1")
+                blk["norm2"] = layer_norm(sd, b + ".norm2")
+            out[f"block{i}"] = blk
+        return out
+
+    L = base_layers
+    unet = {
+        "patch_conv0": conv2d(sd, "unet.patch.0"),
+        "patch_conv1": conv2d(sd, "unet.patch.2"),
+        "swin1": swin_blocks("unet.swin1", L),
+        "down1": {"conv": conv2d(sd, "unet.down1.conv")},
+        "swin2": swin_blocks("unet.swin2", L),
+        "down2": {"conv": conv2d(sd, "unet.down2.conv")},
+        "swin3": swin_blocks("unet.swin3", L * 3),
+        "up2": {"proj": linear(sd, "unet.up2.proj")},
+        "swin4": swin_blocks("unet.swin4", L),
+        "up1": {"proj": linear(sd, "unet.up1.proj")},
+        "swin5": swin_blocks("unet.swin5", L),
+    }
+    if scale_factor in (4, 8):
+        unet["proj2"] = linear(sd, "unet.proj2")
+    if scale_factor == 8:
+        unet["to_image"] = {"proj0": linear(sd, "unet.to_image.proj.0"),
+                            "proj1": linear(sd, "unet.to_image.proj.2")}
+    else:
+        unet["to_image"] = {"proj": linear(sd, "unet.to_image.proj")}
+    return {"unet": unet}
+
+
+def convert_upconv7(sd):
+    """reference waifu2x/models/upconv_7.py:12-26 — net.{0,2,4,6,8,10} are
+    3x3 convs, net.12 is ConvTranspose2d(256, out, 4, 2, 3).  The flax
+    UpConv7 uses auto-named Conv_0..Conv_5 + ConvTranspose2dTorch_0 whose
+    pre-flipped kernel layout is (kh, kw, in, out) spatially reversed."""
+    out = {}
+    for i, t in enumerate((0, 2, 4, 6, 8, 10)):
+        out[f"Conv_{i}"] = conv2d(sd, f"net.{t}")
+    # torch convT weight (I, O, kh, kw) -> flipped (kh, kw, I, O)
+    w = _np(sd["net.12.weight"])  # (I, O, kh, kw)
+    out["ConvTranspose2dTorch_0"] = {
+        "kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+        "bias": _np(sd["net.12.bias"]),
+    }
+    return out
+
+
+def convert_vgg7(sd):
+    """reference waifu2x/models/vgg_7.py — 7 sequential 3x3 convs
+    net.{0,2,4,6,8,10,12} -> flax Conv_0..Conv_6."""
+    out = {}
+    for i, t in enumerate((0, 2, 4, 6, 8, 10, 12)):
+        out[f"Conv_{i}"] = conv2d(sd, f"net.{t}")
+    return out

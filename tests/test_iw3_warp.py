@@ -353,3 +353,42 @@ class TestAnaglyphComposition:
         r = jnp.asarray(_rand((1, 8, 8, 3), 41))
         out = postprocess_image(l, r, StereoFormat(vr180=True))
         assert out.shape == (1, 12, 24, 3)
+
+
+class TestDepthAAAndSOD:
+    def test_depth_aa_residual_zero_init(self):
+        import jax
+        from nunif_tpu.models import create_model
+        from nunif_tpu.iw3.models import depth_aa_infer
+        m = create_model("iw3.depth_aa")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 34, 50, 1))
+        x = jnp.asarray(_rand((1, 34, 50, 1), 43))
+        y = m.apply_fn(params, x)
+        assert y.shape == x.shape
+        # zero-init output proj => identity at init
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+        yi = depth_aa_infer(m, params, x * 10 + 5)
+        assert yi.shape == x.shape
+
+    def test_sod_v1(self):
+        import jax
+        from nunif_tpu.models import create_model
+        m = create_model("iw3.sod_v1")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 96, 96, 4))
+        y = m.apply_fn(params, jnp.zeros((1, 96, 96, 4)))
+        assert y.shape == (1, 96, 96, 1)
+
+    def test_convergence_estimator(self):
+        from nunif_tpu.iw3.convergence_estimator import (
+            ConvergenceEstimator, depth_position_from_ratio)
+        sal = jnp.ones((1, 8, 8, 1))
+        depth = jnp.broadcast_to(
+            jnp.linspace(0, 1, 64).reshape(1, 8, 8, 1), (1, 8, 8, 1))
+        pos = depth_position_from_ratio(sal, depth, 0.5)
+        assert 0.4 < float(pos[0]) < 0.6
+        est = ConvergenceEstimator(0.5, enable_ema=True, decay=0.5)
+        rgb = jnp.zeros((2, 96, 96, 3))
+        d = jnp.zeros((2, 96, 96, 1))
+        out = est(rgb, d, reset_pts=[False, True])
+        assert out.shape == (2,)
+        assert est.convergence_ema is None  # reset on last frame
