@@ -25,7 +25,8 @@ VIDEO_EXTS = {".mp4", ".mkv", ".avi", ".webm", ".mov", ".m2ts", ".ts"}
 
 METHODS = ["row_flow_v3", "row_flow_v2", "row_flow_v3_sym",
            "mlbw_l2", "mlbw_l4", "mlbw_l2s", "mlbw_l4s",
-           "forward", "forward_fill", "grid_sample", "backward", "NULL"]
+           "forward", "forward_fill", "forward_inpaint",
+           "grid_sample", "backward", "NULL"]
 
 
 def create_parser():
@@ -114,6 +115,13 @@ def create_stereo_model(method, checkpoint=None):
     """reference iw3/stereo_model_factory.py:118-138."""
     if method in {"forward", "forward_fill", "grid_sample", "backward", "NULL"}:
         return None, None
+    if method == "forward_inpaint":
+        from .forward_inpaint import ForwardInpaint
+        if checkpoint:
+            from ..models.io import load_model
+            m, p_, _ = load_model(checkpoint)
+            return ForwardInpaint(m, p_), None
+        return ForwardInpaint(), None
     from ..models import create_model
     from ..models.io import load_model
     from . import models as _models  # noqa: F401 (register)

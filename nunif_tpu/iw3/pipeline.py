@@ -75,6 +75,11 @@ def apply_divergence(depth, im, cfg: StereoConfig, side_model=None,
 
     if cfg.method == "NULL":
         return im, im
+    if cfg.method == "forward_inpaint":
+        assert side_model is not None, "forward_inpaint needs an inpaint model"
+        return side_model.infer(
+            im, depth, cfg.divergence, convergence,
+            synthetic_view=cfg.synthetic_view)
     if cfg.method in {"grid_sample", "backward"}:
         return apply_divergence_grid_sample(
             im, depth, cfg.divergence, convergence,

@@ -305,3 +305,62 @@ class WindowMHA2d(nn.Module):
         if pad_h or pad_w:
             out = out[:, pad_h:H - pad_h, pad_w:W - pad_w, :]
         return out
+
+
+class GMLP(nn.Module):
+    """gMLP token mixer (reference nunif/modules/attention.py:621-651)."""
+    embed_dim: int
+    seq_len: int
+    mlp_ratio: int = 1
+
+    @nn.compact
+    def __call__(self, x, norm1=None, norm2=None):
+        # x: (B, N, C)
+        shortcut = x
+        if norm1 is not None:
+            x = norm1(x)
+        x = nn.Dense(int(self.embed_dim * self.mlp_ratio * 2), dtype=x.dtype,
+                     name="proj_in")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        u, v = jnp.split(x, 2, axis=-1)
+        if norm2 is not None:
+            v = norm2(v)
+        # spatial projection: conv1d over the token dim == dense (N, N)
+        w = self.param("proj_spatial_kernel",
+                       nn.initializers.uniform(scale=2e-3 / self.embed_dim),
+                       (self.seq_len, self.seq_len))
+        b = self.param("proj_spatial_bias", nn.initializers.ones,
+                       (self.seq_len,))
+        v = jnp.einsum("mn,bnc->bmc", w.astype(v.dtype), v) + \
+            b.astype(v.dtype)[None, :, None]
+        x = u * v
+        x = nn.Dense(self.embed_dim, dtype=x.dtype, name="proj_out")(x)
+        return x + shortcut
+
+
+class WindowGMLP2d(nn.Module):
+    """Windowed gMLP, NHWC (reference nunif/modules/attention.py:654-693).
+
+    shift pads by half a window with zeros like WindowMHA2d.
+    """
+    in_channels: int
+    window_size: tuple = (4, 4)
+    mlp_ratio: int = 2
+    shift: bool = False
+
+    @nn.compact
+    def __call__(self, x, norm1=None, norm2=None):
+        from .permute import window_partition2, window_reverse2
+        wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                  else (self.window_size, self.window_size))
+        pad_h = wh // 2 if self.shift else 0
+        pad_w = ww // 2 if self.shift else 0
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+        B, H, W, C = x.shape
+        xw = window_partition2(x, (wh, ww))
+        xw = GMLP(C, wh * ww, self.mlp_ratio, name="gmlp")(xw, norm1, norm2)
+        out = window_reverse2(xw, (wh, ww), H, W)
+        if pad_h or pad_w:
+            out = out[:, pad_h:H - pad_h, pad_w:W - pad_w, :]
+        return out

@@ -111,3 +111,33 @@ class TestDiscriminators:
         w = np.asarray(k).reshape(-1, 8)
         true = np.linalg.svd(w, compute_uv=False)[0]
         assert abs(sigma - true) / true < 0.05
+
+
+class TestWGMLPAndInpaint:
+    def test_wgmlp_4x(self):
+        m, y = _run("waifu2x.wgmlp_4x", 64)
+        assert m.i2i_scale == 4 and m.i2i_offset == 36
+        assert y.shape == (1, 64 * 4 - 72, 64 * 4 - 72, 3)
+
+    def test_light_inpaint(self):
+        import jax
+        import nunif_tpu.iw3  # noqa — register inpaint model
+        from nunif_tpu.iw3.models.light_inpaint_v1 import (
+            LightInpaintV1, inpaint_infer)
+        m = LightInpaintV1()
+        x = jnp.zeros((1, 64, 64, 3))
+        mask = jnp.zeros((1, 64, 64, 1)).at[:, 20:30, 20:30].set(1.0)
+        params = m.init(jax.random.PRNGKey(0), x, mask=mask)["params"]
+        y = inpaint_infer(m, params, x, mask)
+        assert y.shape == x.shape
+        assert float(jnp.min(y)) >= 0 and float(jnp.max(y)) <= 1
+
+    def test_forward_inpaint_method(self):
+        import numpy as np
+        from nunif_tpu.iw3.forward_inpaint import ForwardInpaint
+        fi = ForwardInpaint()
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 48, 3)).astype(np.float32))
+        d = jnp.asarray(rng.uniform(size=(1, 32, 48, 1)).astype(np.float32))
+        left, right = fi.infer(x, d, 2.0, 0.5)
+        assert left.shape == x.shape and right.shape == x.shape
