@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..modules.grid_sample import warp_x
+import math
+
+from ..modules.grid_sample import warp_x, warp_x_bounded
 from ..modules.resize import resize
 from .mapper import get_mapper
 
@@ -106,9 +108,16 @@ def apply_divergence_grid_sample(c, depth, divergence, convergence,
     index_shift = depth[..., 0] * shift_size - shift_size * convergence
     # reference: delta in [-1,1] units scaled by base_size/W
     delta_px = index_shift * (base_size / W) * ((W - 1) / 2.0)
+    # |delta_px| <= shift_size * base/W * (W-1)/2 — bounded, so the warp
+    # runs as shift-and-blend (no TPU gather)
+    max_shift = int(math.ceil(shift_size * (base_size / W) * (W - 1) / 2.0))
 
     def bwarp(sign):
-        return jnp.clip(warp_x(c, sign * delta_px, padding_mode="border"), 0.0, 1.0)
+        if max_shift <= 128:
+            out = warp_x_bounded(c, sign * delta_px, max_shift)
+        else:
+            out = warp_x(c, sign * delta_px, padding_mode="border")
+        return jnp.clip(out, 0.0, 1.0)
 
     if synthetic_view == "both":
         return bwarp(-1.0), bwarp(1.0)

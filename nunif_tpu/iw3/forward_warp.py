@@ -23,6 +23,8 @@ Both are mathematically the loops' fixed points.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -177,6 +179,80 @@ def _row_splat_winner(values, target_idx, depth_key):
     return jnp.where(has[..., None], out, undef)
 
 
+def _warp_one_bounded(c_packed, depth, index_shift, max_shift: int):
+    """Offset-enumerated equivalent of ``_warp_one`` for BOUNDED shifts.
+
+    XLA lowers the scatter-max splat to slow loops on TPU (~780ms for a
+    1080p frame); the displacement is bounded by the divergence (~±20px),
+    so the depth-ordered splat is re-expressed as, for every target t, a
+    max-key select over the 2S+3 candidate sources x = t - o:
+
+        contributes(o) = floor/ceil(clip(x + shift(x))) == t
+        winner = argmax over contributing candidates of (depth_q, x)
+
+    — pure shifted elementwise VPU work, identical winners to the
+    scatter-max (same packed priority key).
+    """
+    B, H, W, C = c_packed.shape
+    S = int(max_shift) + 1
+    x_pos = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    fx = jnp.clip(x_pos + index_shift, 0, W - 1)
+    q_levels = (2 ** 31 - 2) // W
+    depth_q = jnp.clip(jnp.round(depth * (q_levels - 1)), 0,
+                       q_levels - 1).astype(jnp.int32)
+    key = depth_q * W + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+
+    floor_fx = jnp.floor(fx)
+    ceil_fx = jnp.ceil(fx)
+    ceil_w = jnp.clip(fx - floor_fx, 1e-5, 1.0 - 1e-5)
+
+    def padded(a, fill):
+        # pad W axis by S on both sides with `fill`
+        pads = [(0, 0)] * a.ndim
+        pads[2] = (S, S)
+        return jnp.pad(a, pads, constant_values=fill)
+
+    fl_p = padded(floor_fx, -10.0)
+    cl_p = padded(ceil_fx, -10.0)
+    wc_p = padded(ceil_w, 0.0)
+    key_p = padded(key, -1)
+    val_p = padded(c_packed, 0.0)
+
+    tgt = x_pos  # target positions
+    best_kf = jnp.full((B, H, W), -1, jnp.int32)
+    best_kc = jnp.full((B, H, W), -1, jnp.int32)
+    vf = jnp.zeros((B, H, W, C + 1), jnp.float32)
+    vc = jnp.zeros((B, H, W, C + 1), jnp.float32)
+
+    for o in range(-S, S + 1):
+        sl = slice(S - o, S - o + W)
+        k_o = key_p[:, :, sl]
+        v_o = jnp.concatenate(
+            [wc_p[:, :, sl][..., None], val_p[:, :, sl]], axis=-1)
+        fl_o = fl_p[:, :, sl]
+        cl_o = cl_p[:, :, sl]
+        hit_f = (fl_o == tgt)
+        kf = jnp.where(hit_f, k_o, -1)
+        take_f = kf > best_kf
+        best_kf = jnp.where(take_f, kf, best_kf)
+        vf = jnp.where(take_f[..., None], v_o, vf)
+        hit_c = (cl_o == tgt)
+        kc = jnp.where(hit_c, k_o, -1)
+        take_c = kc > best_kc
+        best_kc = jnp.where(take_c, kc, best_kc)
+        vc = jnp.where(take_c[..., None], v_o, vc)
+
+    has_f = (best_kf >= 0)[..., None]
+    has_c = (best_kc >= 0)[..., None]
+    floor_w = jnp.where(has_f, 1.0 - vf[..., 0:1], 0.0)
+    ceil_w_win = jnp.where(has_c, vc[..., 0:1], 0.0)
+    floor_v = jnp.where(has_f, vf[..., 1:], -1.0)
+    ceil_v = jnp.where(has_c, vc[..., 1:], -1.0)
+    wsum = floor_w + ceil_w_win
+    out = (floor_v * floor_w + ceil_v * ceil_w_win) / jnp.maximum(wsum, 1e-12)
+    return jnp.where(wsum > 0, out, -1.0)
+
+
 def _warp_one(c_packed, depth, index_shift):
     """Splat c_packed (B,H,W,C: [channels..., x_index]) by index_shift pixels.
 
@@ -243,13 +319,22 @@ def depth_order_bilinear_forward_warp(c, depth, divergence, convergence,
     x_index = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
     c_packed = jnp.concatenate([c.astype(jnp.float32), x_index[..., None]], axis=-1)
 
+    # bounded offset-enumerated splat when the shift is small (the common
+    # case); scatter-max fallback for extreme divergences
+    max_shift = int(math.ceil(shift_size))
+    if max_shift <= 128:
+        def warp_fn(cp, dd, ishift):
+            return _warp_one_bounded(cp, dd, ishift, max_shift)
+    else:
+        warp_fn = _warp_one
+
     def unpack(eye):
         eye = crop2d(eye, (padding_size, padding_size, 0, 0))
         return eye[..., :-1], eye[..., -1:]
 
     if synthetic_view == "both":
-        left, left_idx = unpack(_warp_one(c_packed, d, index_shift))
-        right, right_idx = unpack(_warp_one(c_packed, d, -index_shift))
+        left, left_idx = unpack(warp_fn(c_packed, d, index_shift))
+        right, right_idx = unpack(warp_fn(c_packed, d, -index_shift))
         left_idx, right_idx = shift_fill_pack(left_idx, right_idx, inconsistent_shift)
         left, left_idx = fix_layered_holes(left, left_idx, 1)
         right, right_idx = fix_layered_holes(right, right_idx, -1)
@@ -263,7 +348,7 @@ def depth_order_bilinear_forward_warp(c, depth, divergence, convergence,
         return left, right
 
     if synthetic_view == "right":
-        right, right_idx = unpack(_warp_one(c_packed, d, -index_shift))
+        right, right_idx = unpack(warp_fn(c_packed, d, -index_shift))
         right_idx = fill_nearest_x(right_idx, 1)
         right, right_idx = fix_layered_holes(right, right_idx, -1)
         mask = gen_mask2(right) if return_mask else None
@@ -274,7 +359,7 @@ def depth_order_bilinear_forward_warp(c, depth, divergence, convergence,
             return src_image, right, None, mask
         return src_image, right
 
-    left, left_idx = unpack(_warp_one(c_packed, d, index_shift))
+    left, left_idx = unpack(warp_fn(c_packed, d, index_shift))
     left_idx = fill_nearest_x(left_idx, -1)
     left, left_idx = fix_layered_holes(left, left_idx, 1)
     mask = gen_mask2(left) if return_mask else None

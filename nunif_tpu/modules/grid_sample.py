@@ -154,3 +154,32 @@ def warp_x(x, delta_px, padding_mode: str = "border"):
         w0 = w0 * m0[..., None]
         w1 = w1 * m1[..., None]
     return (v0 * w0 + v1 * w1).astype(x.dtype)
+
+
+def warp_x_bounded(x, delta_px, max_shift: int, padding_mode: str = "border"):
+    """Horizontal bilinear backward warp for BOUNDED displacements.
+
+    TPU-native formulation: XLA lowers big gathers to slow scatter/gather
+    loops (measured ~460ms for a 1080p stereo warp), but the stereo
+    displacement is bounded by divergence (~±20px), so the warp is
+    expressible as a sum over integer offsets of shifted inputs weighted by
+    bilinear hats — pure fused elementwise VPU work:
+
+        out[x] = sum_o hat(gx(x) - (x+o)) * x_pad[x+o],  |o| <= max_shift+1
+
+    Exactly equals ``warp_x`` (border padding) whenever |delta| <= max_shift.
+    """
+    B, H, W, C = x.shape
+    S = int(max_shift) + 1
+    base = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    gx = jnp.clip(base + delta_px.astype(jnp.float32), 0, W - 1)
+    compute = x.astype(jnp.float32)
+    # replicate pad along W by S so shifted slices stay in bounds
+    xp = jnp.concatenate(
+        [jnp.repeat(compute[:, :, :1], S, axis=2), compute,
+         jnp.repeat(compute[:, :, -1:], S, axis=2)], axis=2)
+    out = jnp.zeros_like(compute)
+    for o in range(-S, S + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(gx - (base + o)))
+        out = out + xp[:, :, o + S:o + S + W, :] * w[..., None]
+    return out.astype(x.dtype)

@@ -392,3 +392,25 @@ class TestDepthAAAndSOD:
         out = est(rgb, d, reset_pts=[False, True])
         assert out.shape == (2,)
         assert est.convergence_ema is None  # reset on last frame
+
+
+class TestBoundedWarps:
+    def test_warp_x_bounded_matches_gather(self):
+        from nunif_tpu.modules.grid_sample import warp_x, warp_x_bounded
+        x = jnp.asarray(_rand((2, 6, 40, 3), 51))
+        delta = jnp.asarray((_rand((2, 6, 40), 52) * 10 - 5).astype(np.float32))
+        a = np.asarray(warp_x(x, delta, padding_mode="border"))
+        b = np.asarray(warp_x_bounded(x, delta, max_shift=6))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_forward_warp_bounded_matches_scatter(self):
+        from nunif_tpu.iw3.forward_warp import _warp_one, _warp_one_bounded
+        rng = np.random.default_rng(53)
+        B, H, W = 1, 4, 48
+        c = jnp.asarray(rng.uniform(size=(B, H, W, 4)).astype(np.float32))
+        d = jnp.asarray((rng.integers(0, 16, size=(B, H, W)) / 15.0)
+                        .astype(np.float32))
+        shift = d * 3.0 - 1.5
+        a = np.asarray(_warp_one(c, d, shift))
+        b = np.asarray(_warp_one_bounded(c, d, shift, max_shift=4))
+        np.testing.assert_allclose(a, b, atol=1e-4)
