@@ -32,6 +32,13 @@ class Iw3FrameProcessor:
     def _compose(self, depths, rgbs):
         im = jnp.stack(rgbs)
         depth = jnp.stack(depths)
+        # plain grid-sample warps need depth at frame resolution (the NN /
+        # forward warps resize internally) — mirrors pipeline.process_image
+        if self.cfg.method in {"grid_sample", "backward", "NULL"} and \
+                depth.shape[1:3] != im.shape[1:3]:
+            from ..modules.resize import resize
+            depth = jnp.clip(resize(depth, im.shape[1], im.shape[2],
+                                    mode="bilinear", antialias=False), 0, 1)
         left, right = apply_divergence(
             depth, im, self.cfg, self.side_model, self.side_params,
             metric_depth=self.depth_model.is_metric())
@@ -40,10 +47,15 @@ class Iw3FrameProcessor:
     def __call__(self, batch_u8: np.ndarray):
         x = jnp.asarray(batch_u8.astype(np.float32) / 255.0)
         x = preprocess_image(x, self.cfg)
-        depth = self.depth_model.infer(x, tta=self.tta,
-                                       edge_dilation=self.edge_dilation)
         self._rgb_queue.extend(list(x))
-        normalized = self.depth_model.minmax_normalize(depth)
+        if hasattr(self.depth_model, "infer_with_normalize"):
+            # windowed temporal models (VDA): output lags by the window
+            normalized = self.depth_model.infer_with_normalize(
+                x, edge_dilation=self.edge_dilation)
+        else:
+            depth = self.depth_model.infer(x, tta=self.tta,
+                                           edge_dilation=self.edge_dilation)
+            normalized = self.depth_model.minmax_normalize(depth)
         if not normalized:
             return None
         rgbs = self._rgb_queue[:len(normalized)]
@@ -51,7 +63,11 @@ class Iw3FrameProcessor:
         return self._compose(normalized, rgbs)
 
     def flush(self):
-        normalized = self.depth_model.flush_minmax_normalize()
+        if hasattr(self.depth_model, "flush_with_normalize"):
+            normalized = self.depth_model.flush_with_normalize(
+                edge_dilation=self.edge_dilation)
+        else:
+            normalized = self.depth_model.flush_minmax_normalize()
         if not normalized:
             self._rgb_queue.clear()
             return None
