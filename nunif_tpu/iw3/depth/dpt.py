@@ -60,7 +60,7 @@ class DPTHead(nn.Module):
     max_depth: float = 0.0  # > 0 => metric head (sigmoid * max_depth)
 
     @nn.compact
-    def __call__(self, feats, patch_hw):
+    def __call__(self, feats, patch_hw, return_features: bool = False):
         ph, pw = patch_hw
         B = feats[0].shape[0]
         levels = []
@@ -101,13 +101,17 @@ class DPTHead(nn.Module):
         out = nn.Conv(self.features // 2, (3, 3), padding="SAME",
                       dtype=p1.dtype, name="output_conv1")(p1)
         out = _interp(out, ph * 14, pw * 14)
-        out = nn.Conv(32, (3, 3), padding="SAME", dtype=out.dtype,
-                      name="output_conv2_0")(out)
-        out = nn.relu(out)
-        out = nn.Conv(1, (1, 1), padding="VALID", dtype=out.dtype,
-                      name="output_conv2_2")(out)
+        out32 = nn.Conv(32, (3, 3), padding="SAME", dtype=out.dtype,
+                        name="output_conv2_0")(out)
+        out32 = nn.relu(out32)
+        out = nn.Conv(1, (1, 1), padding="VALID", dtype=out32.dtype,
+                      name="output_conv2_2")(out32)
         if self.max_depth > 0:
             out = nn.sigmoid(out.astype(jnp.float32)) * self.max_depth
         else:
             out = nn.relu(out)
+        if return_features:
+            # hook set for the ZoeDepth metric head (ZoeD_Any_* variants):
+            # [conditional-log-binomial input, bottleneck, attractor levels]
+            return out, [out32, rn[3], p4, p3, p2, p1]
         return out  # (B, H, W, 1)

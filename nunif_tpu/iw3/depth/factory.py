@@ -13,13 +13,13 @@ from .vda import (
     VideoDepthAnythingModel, VideoDepthAnythingStreamingModel,
     NAME_MAP as _VDA_NAMES, STREAM_NAME_MAP as _VDA_STREAM_NAMES,
 )
+from .zoedepth import ZoeDepthModel, MODEL_TYPES as _ZOE_NAMES
 
 # reference iw3/README.md model table
-ZOEDEPTH_TYPES = ["ZoeD_N", "ZoeD_K", "ZoeD_NK", "ZoeD_Any_N", "ZoeD_Any_K"]
 DEPTH_PRO_TYPES = ["DepthPro", "DepthPro_S"]
 
 DEPTH_MODEL_TYPES = (list(_DA_NAMES) + ["NULL"] + list(_VDA_NAMES)
-                     + list(_VDA_STREAM_NAMES) + ZOEDEPTH_TYPES
+                     + list(_VDA_STREAM_NAMES) + list(_ZOE_NAMES)
                      + DEPTH_PRO_TYPES)
 
 
@@ -30,11 +30,14 @@ def create_depth_model(model_type: str, **kwargs):
         return VideoDepthAnythingModel(model_type, **kwargs)
     if VideoDepthAnythingStreamingModel.supported(model_type):
         return VideoDepthAnythingStreamingModel(model_type, **kwargs)
+    if ZoeDepthModel.supported(model_type):
+        return ZoeDepthModel(model_type)
     if NullDepthModel.supported(model_type):
         return NullDepthModel(model_type)
-    if model_type in ZOEDEPTH_TYPES + DEPTH_PRO_TYPES:
+    if model_type in DEPTH_PRO_TYPES:
         raise NotImplementedError(
             f"depth model {model_type} is declared but its TPU port has not "
             f"landed yet; use one of {sorted(_DA_NAMES)}, "
-            f"{sorted(_VDA_NAMES)}, {sorted(_VDA_STREAM_NAMES)} or NULL")
+            f"{sorted(_VDA_NAMES)}, {sorted(_VDA_STREAM_NAMES)}, "
+            f"{sorted(_ZOE_NAMES)} or NULL")
     raise ValueError(f"{model_type} is not supported")
