@@ -1,9 +1,8 @@
 """Depth backend factory (reference iw3/depth_model_factory.py:10-33).
 
 Implemented backends: DepthAnything (v1/v2/metric/distill table),
-VideoDepthAnything (windowed online + per-frame streaming), and NULL.
-ZoeDepth / DepthPro types are declared so the CLI surface matches; they
-raise a clear error until their encoders land.
+VideoDepthAnything (windowed online + per-frame streaming), ZoeDepth
+(N/K/NK + ZoeD_Any), DepthPro, and NULL.
 """
 from __future__ import annotations
 
@@ -14,13 +13,12 @@ from .vda import (
     NAME_MAP as _VDA_NAMES, STREAM_NAME_MAP as _VDA_STREAM_NAMES,
 )
 from .zoedepth import ZoeDepthModel, MODEL_TYPES as _ZOE_NAMES
+from .depth_pro import DepthProModel, NAME_MAP as _PRO_NAMES
 
 # reference iw3/README.md model table
-DEPTH_PRO_TYPES = ["DepthPro", "DepthPro_S"]
-
 DEPTH_MODEL_TYPES = (list(_DA_NAMES) + ["NULL"] + list(_VDA_NAMES)
                      + list(_VDA_STREAM_NAMES) + list(_ZOE_NAMES)
-                     + DEPTH_PRO_TYPES)
+                     + list(_PRO_NAMES))
 
 
 def create_depth_model(model_type: str, **kwargs):
@@ -32,12 +30,8 @@ def create_depth_model(model_type: str, **kwargs):
         return VideoDepthAnythingStreamingModel(model_type, **kwargs)
     if ZoeDepthModel.supported(model_type):
         return ZoeDepthModel(model_type)
+    if DepthProModel.supported(model_type):
+        return DepthProModel(model_type)
     if NullDepthModel.supported(model_type):
         return NullDepthModel(model_type)
-    if model_type in DEPTH_PRO_TYPES:
-        raise NotImplementedError(
-            f"depth model {model_type} is declared but its TPU port has not "
-            f"landed yet; use one of {sorted(_DA_NAMES)}, "
-            f"{sorted(_VDA_NAMES)}, {sorted(_VDA_STREAM_NAMES)}, "
-            f"{sorted(_ZOE_NAMES)} or NULL")
     raise ValueError(f"{model_type} is not supported")
