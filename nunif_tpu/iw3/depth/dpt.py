@@ -58,6 +58,8 @@ class DPTHead(nn.Module):
     features: int
     out_channels: Sequence[int]
     max_depth: float = 0.0  # > 0 => metric head (sigmoid * max_depth)
+    out_dim: int = 1        # > 1 => raw multi-channel output (e.g. DA3
+                            # mono's depth+sky dual head), no activation
 
     @nn.compact
     def __call__(self, feats, patch_hw, return_features: bool = False):
@@ -104,9 +106,11 @@ class DPTHead(nn.Module):
         out32 = nn.Conv(32, (3, 3), padding="SAME", dtype=out.dtype,
                         name="output_conv2_0")(out)
         out32 = nn.relu(out32)
-        out = nn.Conv(1, (1, 1), padding="VALID", dtype=out32.dtype,
-                      name="output_conv2_2")(out32)
-        if self.max_depth > 0:
+        out = nn.Conv(self.out_dim, (1, 1), padding="VALID",
+                      dtype=out32.dtype, name="output_conv2_2")(out32)
+        if self.out_dim > 1:
+            out = out.astype(jnp.float32)
+        elif self.max_depth > 0:
             out = nn.sigmoid(out.astype(jnp.float32)) * self.max_depth
         else:
             out = nn.relu(out)

@@ -14,11 +14,12 @@ from .vda import (
 )
 from .zoedepth import ZoeDepthModel, MODEL_TYPES as _ZOE_NAMES
 from .depth_pro import DepthProModel, NAME_MAP as _PRO_NAMES
+from .da3 import DepthAnythingV3MonoModel, NAME_MAP as _DA3_NAMES
 
 # reference iw3/README.md model table
 DEPTH_MODEL_TYPES = (list(_DA_NAMES) + ["NULL"] + list(_VDA_NAMES)
                      + list(_VDA_STREAM_NAMES) + list(_ZOE_NAMES)
-                     + list(_PRO_NAMES))
+                     + list(_PRO_NAMES) + list(_DA3_NAMES))
 
 
 def create_depth_model(model_type: str, **kwargs):
@@ -32,6 +33,8 @@ def create_depth_model(model_type: str, **kwargs):
         return ZoeDepthModel(model_type)
     if DepthProModel.supported(model_type):
         return DepthProModel(model_type)
+    if DepthAnythingV3MonoModel.supported(model_type):
+        return DepthAnythingV3MonoModel(model_type, **kwargs)
     if NullDepthModel.supported(model_type):
         return NullDepthModel(model_type)
     raise ValueError(f"{model_type} is not supported")
