@@ -364,3 +364,245 @@ class WindowGMLP2d(nn.Module):
         if pad_h or pad_w:
             out = out[:, pad_h:H - pad_h, pad_w:W - pad_w, :]
         return out
+
+
+class CrossMHA(nn.Module):
+    """Cross attention on (B, N, C) sequences (reference
+    nunif/modules/attention.py:300-322)."""
+    embed_dim: int
+    num_heads: int
+    qkv_dim: int = None
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, attn_mask=None):
+        C = self.embed_dim
+        qkv_dim = self.qkv_dim or C // self.num_heads
+        inner = qkv_dim * self.num_heads
+        n_q, n_kv = q_in.shape[1], kv_in.shape[1]
+        q = nn.Dense(inner, dtype=q_in.dtype, name="q_proj")(q_in)
+        kv = nn.Dense(inner * 2, dtype=q_in.dtype, name="kv_proj")(kv_in)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(-1, n_q, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(-1, n_kv, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(-1, n_kv, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (qkv_dim ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            m = attn_mask if attn_mask.ndim >= 3 else attn_mask[None]
+            attn = attn + m[None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q_in.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(q_in.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, n_q, inner)
+        return nn.Dense(C, dtype=q_in.dtype, name="head_proj")(out)
+
+
+class WindowCrossMHA2d(nn.Module):
+    """Window cross attention, NHWC (reference :324-346)."""
+    in_channels: int
+    num_heads: int
+    window_size: tuple = (4, 4)
+    qkv_dim: int = None
+
+    @nn.compact
+    def __call__(self, x1, x2, attn_mask=None):
+        from .permute import window_partition2, window_reverse2
+        wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                  else (self.window_size, self.window_size))
+        B, H, W, C = x1.shape
+        w1 = window_partition2(x1, (wh, ww))
+        w2 = window_partition2(x2, (wh, ww))
+        out = CrossMHA(self.in_channels, self.num_heads, self.qkv_dim,
+                       name="mha")(w1, w2, attn_mask=attn_mask)
+        return window_reverse2(out, (wh, ww), H, W)
+
+
+class WindowSpatialReductionMHA2d(nn.Module):
+    """Window MHA with 2x spatially-reduced K/V (reference :164-211):
+    q from every pixel, k/v from a stride-2 conv over the window."""
+    in_channels: int
+    num_heads: int
+    window_size: tuple
+    kernel_size: int = 3
+    reduction: int = 2
+    qkv_dim: int = None
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        from .pad import replication_pad2d
+        assert self.reduction == 2 and self.kernel_size in (2, 3)
+        wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                  else (self.window_size, self.window_size))
+        B, H, W, C = x.shape
+        qkv_dim = self.qkv_dim or C // self.num_heads
+        inner = qkv_dim * self.num_heads
+        nh, nw = H // wh, W // ww
+        n = wh * ww
+        rn = (wh // 2) * (ww // 2)
+
+        # windows as image tiles: (B*nh*nw, wh, ww, C)
+        xw = x.reshape(B, nh, wh, nw, ww, C).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(B * nh * nw, wh, ww, C)
+        if self.kernel_size == 3:
+            kv_in = replication_pad2d(jax.lax.stop_gradient(xw), (1, 1, 1, 1))
+            kv = nn.Conv(inner * 2, (3, 3), strides=(2, 2), padding="VALID",
+                         dtype=x.dtype, name="kv_proj")(kv_in)
+        else:
+            kv = nn.Conv(inner * 2, (2, 2), strides=(2, 2), padding="VALID",
+                         dtype=x.dtype, name="kv_proj")(xw)
+        kv = kv.reshape(-1, rn, inner * 2)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = nn.Dense(inner, dtype=x.dtype, name="q_proj")(
+            xw.reshape(-1, n, C))
+
+        q = q.reshape(-1, n, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(-1, rn, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(-1, rn, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (qkv_dim ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            m = attn_mask if attn_mask.ndim >= 3 else attn_mask[None]
+            attn = attn + m[None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, n, inner)
+        out = nn.Dense(C, dtype=x.dtype, name="head_proj")(out)
+        out = out.reshape(B, nh, nw, wh, ww, C).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(B, H, W, C)
+
+
+class OverlapWindowMHA2d(nn.Module):
+    """Two window grids offset by half a window, summed (reference
+    :214-253)."""
+    in_channels: int
+    num_heads: int
+    window_size: tuple = (4, 4)
+    qkv_dim: int = None
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        from .permute import window_partition2, window_reverse2
+        wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                  else (self.window_size, self.window_size))
+        B, H, W, C = x.shape
+        qkv_dim = self.qkv_dim or C // self.num_heads
+        inner = qkv_dim * self.num_heads
+        ph, pw = wh // 2, ww // 2
+        n = wh * ww
+
+        qkv = nn.Conv(inner * 3, (1, 1), padding="VALID", dtype=x.dtype,
+                      name="qkv_proj")(x)
+        head_proj = nn.Conv(C, (1, 1), padding="VALID", dtype=x.dtype,
+                            name="head_proj")
+
+        def mha(t):
+            q, k, v = jnp.split(t, 3, axis=-1)
+            nn_ = t.shape[1]
+
+            def heads(a):
+                return a.reshape(-1, nn_, self.num_heads,
+                                 qkv_dim).transpose(0, 2, 1, 3)
+            q, k, v = heads(q), heads(k), heads(v)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (qkv_dim ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            if attn_mask is not None:
+                m = attn_mask if attn_mask.ndim >= 3 else attn_mask[None]
+                attn = attn + m[None].astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(t.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                             preferred_element_type=jnp.float32).astype(t.dtype)
+            return out.transpose(0, 2, 1, 3).reshape(-1, nn_, inner)
+
+        x1 = mha(window_partition2(qkv, (wh, ww)))
+        x1 = window_reverse2(x1, (wh, ww), H, W)
+        q2 = jnp.pad(qkv, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+        x2 = mha(window_partition2(q2, (wh, ww)))
+        x2 = window_reverse2(x2, (wh, ww), H + 2 * ph, W + 2 * pw)
+        x2 = x2[:, ph:H + ph, pw:W + pw, :]
+        return head_proj(x1 + x2)
+
+
+class WindowMHA3d(nn.Module):
+    """3D window MHA, NDHWC (reference :255-297).  shift pads D by
+    reflection and H/W by zeros, half a window each."""
+    in_channels: int
+    num_heads: int
+    window_size: tuple = (4, 4, 4)
+    qkv_dim: int = None
+    shift: tuple = (False, False, False)
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        from .permute import window_partition3, window_reverse3
+        wd, wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                      else (self.window_size,) * 3)
+        sd, sh, sw = (self.shift if isinstance(self.shift, (tuple, list))
+                      else (self.shift,) * 3)
+        pd = wd // 2 if sd else 0
+        ph = wh // 2 if sh else 0
+        pw = ww // 2 if sw else 0
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw), (0, 0)))
+        if pd:
+            x = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)),
+                        mode="reflect")
+        B, D, H, W, C = x.shape
+        qkv_dim = self.qkv_dim or C // self.num_heads
+        inner = qkv_dim * self.num_heads
+        n = wd * wh * ww
+
+        xw = window_partition3(x, (wd, wh, ww))
+        qkv = nn.Dense(inner * 3, dtype=x.dtype, name="qkv_proj")(xw)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(-1, n, self.num_heads, qkv_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (qkv_dim ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        if attn_mask is not None:
+            m = attn_mask if attn_mask.ndim >= 3 else attn_mask[None]
+            attn = attn + m[None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(-1, n, inner)
+        out = nn.Dense(C, dtype=x.dtype, name="head_proj")(out)
+        out = window_reverse3(out, (wd, wh, ww), D, H, W)
+        if pd or ph or pw:
+            out = out[:, pd:D - pd if pd else D, ph:H - ph if ph else H,
+                      pw:W - pw if pw else W, :]
+        return out
+
+
+class WindowGMLP3d(nn.Module):
+    """3D windowed gMLP, NDHWC (reference :696-738)."""
+    in_channels: int
+    window_size: tuple = (4, 4, 4)
+    mlp_ratio: int = 2
+    shift: bool = False
+
+    @nn.compact
+    def __call__(self, x, norm1=None, norm2=None):
+        from .permute import window_partition3, window_reverse3
+        wd, wh, ww = (self.window_size if isinstance(self.window_size, (tuple, list))
+                      else (self.window_size,) * 3)
+        pd = wd // 2 if self.shift else 0
+        ph = wh // 2 if self.shift else 0
+        pw = ww // 2 if self.shift else 0
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw), (0, 0)))
+        if pd:
+            x = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)),
+                        mode="reflect")
+        B, D, H, W, C = x.shape
+        xw = window_partition3(x, (wd, wh, ww))
+        xw = GMLP(C, wd * wh * ww, self.mlp_ratio, name="gmlp")(xw, norm1, norm2)
+        out = window_reverse3(xw, (wd, wh, ww), D, H, W)
+        if pd or ph or pw:
+            out = out[:, pd:D - pd if pd else D, ph:H - ph if ph else H,
+                      pw:W - pw if pw else W, :]
+        return out

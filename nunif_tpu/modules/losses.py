@@ -254,13 +254,19 @@ def fft_loss(window_size=8, amp_weight=1.0, phase_weight=1.0, clamp=True):
     def wrapped(x, y):
         if clamp:
             x, y = jnp.clip(x, 0, 1), jnp.clip(y, 0, 1)
+        from .spectral import dft2
         xw = _window_partition_pad(x, window_size).astype(jnp.float32)
         yw = _window_partition_pad(y, window_size).astype(jnp.float32)
-        fx = jnp.fft.rfft2(xw, axes=(1, 2))
-        fy = jnp.fft.rfft2(yw, axes=(1, 2))
-        amp = jnp.mean(jnp.abs(jnp.abs(fx) - jnp.abs(fy)))
-        phase = jnp.mean(jnp.abs(fx / (jnp.abs(fx) + 1e-8)
-                                 - fy / (jnp.abs(fy) + 1e-8)))
+        # DFT as matmuls (modules/spectral.py): no XLA FFT on the axon TPU
+        # backend, and at window sizes this is pure MXU work
+        xr, xi = dft2(xw)
+        yr, yi = dft2(yw)
+        ax = jnp.sqrt(xr ** 2 + xi ** 2 + 1e-12)
+        ay = jnp.sqrt(yr ** 2 + yi ** 2 + 1e-12)
+        amp = jnp.mean(jnp.abs(ax - ay))
+        phase = jnp.mean(jnp.sqrt((xr / (ax + 1e-8) - yr / (ay + 1e-8)) ** 2
+                                  + (xi / (ax + 1e-8) - yi / (ay + 1e-8)) ** 2
+                                  + 1e-12))
         return amp * amp_weight + phase * phase_weight
     return wrapped
 
@@ -317,3 +323,89 @@ def r1_regularization(disc_fn, params, real, gamma=10.0):
         return jnp.sum(disc_fn(params, x))
     g = jax.grad(d_sum)(real)
     return 0.5 * gamma * jnp.mean(jnp.sum(g ** 2, axis=(1, 2, 3)))
+
+
+# --------------------------------------------------------------------------
+# Alex11 loss (reference nunif/modules/alex11_loss.py:6-55): AlexNet's
+# first-layer 11x11 filters (grayscale-projected, L2-normalized, filter 31
+# replaced by identity — weights bundled as _alex11.npy, converted from the
+# reference's _alex11.pth) applied per channel; Charbonnier on the
+# responses, channel-max, mean.
+# --------------------------------------------------------------------------
+
+def _alex11_filter():
+    import os
+    w = np.load(os.path.join(os.path.dirname(__file__), "_alex11.npy"))
+    return jnp.asarray(w)  # (11, 11, 1, 64) HWIO
+
+
+def alex11_loss(in_channels=3, eps=1.0e-3):
+    kernel = _alex11_filter()
+
+    def conv(x):
+        C = x.shape[-1]
+        w = jnp.tile(kernel.astype(x.dtype), (1, 1, 1, C))
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+    def loss_fn(x, y):
+        fy = conv(x * 2.0 - 1.0)
+        ft = conv(y * 2.0 - 1.0)
+        c = jnp.sqrt((fy.astype(jnp.float32) - ft.astype(jnp.float32)) ** 2
+                     + eps ** 2)
+        return jnp.mean(jnp.max(c, axis=-1))
+
+    return loss_fn
+
+
+# --------------------------------------------------------------------------
+# Flat color loss (reference nunif/modules/flat_color_loss.py): L2 masked
+# to cells whose target is a flat color (kills color noise in flats).
+# --------------------------------------------------------------------------
+
+def get_flat_color_mask(y, size=8, eps=1e-5):
+    y = jax.lax.stop_gradient(y)
+    B, H, W, C = y.shape
+    ph = (size - H % size) % size
+    pw = (size - W % size) % size
+    yp = jnp.pad(y, ((0, 0), (ph // 2, ph - ph // 2),
+                     (pw // 2, pw - pw // 2), (0, 0)))
+    Hp, Wp = yp.shape[1:3]
+    cells = yp.reshape(B, Hp // size, size, Wp // size, size, C)
+    center = cells[:, :, :1, :, :1, :]  # nearest-downscale pick (top-left)
+    diff_max = jnp.abs(cells - center).max(axis=(2, 4, 5), keepdims=False)
+    mask = (diff_max < eps).astype(y.dtype)[..., None, :, None, None]
+    mask = jnp.broadcast_to(
+        mask.reshape(B, Hp // size, 1, Wp // size, 1, 1),
+        (B, Hp // size, size, Wp // size, size, 1)).reshape(B, Hp, Wp, 1)
+    return mask[:, ph // 2:ph // 2 + H, pw // 2:pw // 2 + W]
+
+
+def flat_color_loss(input, target, size=8):
+    mask = get_flat_color_mask(target, size=size)
+    return jnp.mean(((input - target) ** 2) * mask)
+
+
+def flat_color_weighted_loss(input, target, size=8):
+    return (jnp.mean(jnp.abs(input - target))
+            + flat_color_loss(input, target, size=size))
+
+
+# --------------------------------------------------------------------------
+# trivial wrappers (reference identity_loss.py / weighted_loss.py)
+# --------------------------------------------------------------------------
+
+def identity_loss():
+    """Model output IS the loss (reference identity_loss.py)."""
+    def loss_fn(x, y=None):
+        return jnp.mean(x)
+    return loss_fn
+
+
+def weighted_loss(loss_fns, weights):
+    """Sum of weighted losses on the same (x, y)."""
+    def loss_fn(x, y):
+        return sum(w * f(x, y) for f, w in zip(loss_fns, weights))
+    return loss_fn

@@ -90,3 +90,24 @@ def window_reverse2(x, window, h: int, w: int):
     x = x.reshape(b, nh, nw, wh, ww, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h, w, c)
+
+
+def window_partition3(x, window):
+    """(B, D, H, W, C) -> (B*nd*nh*nw, wd*wh*ww, C)
+    (reference nunif/modules/permute.py bcdhw_to_bnc, NDHWC here)."""
+    wd, wh, ww = window
+    B, D, H, W, C = x.shape
+    nd, nh, nw = D // wd, H // wh, W // ww
+    x = x.reshape(B, nd, wd, nh, wh, nw, ww, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(B * nd * nh * nw, wd * wh * ww, C)
+
+
+def window_reverse3(x, window, d: int, h: int, w: int):
+    """inverse of window_partition3."""
+    wd, wh, ww = window
+    nd, nh, nw = d // wd, h // wh, w // ww
+    C = x.shape[-1]
+    x = x.reshape(-1, nd, nh, nw, wd, wh, ww, C)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(-1, d, h, w, C)

@@ -61,3 +61,27 @@ def avg_pool2d(x, kernel_size, stride=1, padding=None,
 def box_blur(x, kernel_size: int = 7):
     """Reference iw3/forward_warp.py:6-9."""
     return avg_pool2d(x, kernel_size, stride=1, count_include_pad=False)
+
+
+def soft_pool2d(x, kernel_size=2, stride=None, eps=1e-6):
+    """SoftPool (arXiv:2101.00440); reference nunif/modules/softpool.py:10-30.
+
+    Exponential-weighted average pooling; weights are shared across
+    channels (sum of exp over the channel axis), matching the reference.
+    """
+    stride = stride if stride is not None else kernel_size
+    x32 = x.astype(jnp.float32)
+    e_x = jnp.sum(jnp.exp(x32), axis=-1, keepdims=True)
+    e_x = jnp.clip(e_x, 0.0, jnp.finfo(jnp.float32).max)
+    num = avg_pool2d(x32 * e_x, kernel_size, stride=stride, padding=0,
+                     count_include_pad=True)
+    den = avg_pool2d(e_x, kernel_size, stride=stride, padding=0,
+                     count_include_pad=True)
+    return (num / (den + eps)).astype(x.dtype)
+
+
+def soft_pool_downscale(x, downscale_factor, eps=1e-6):
+    """reference nunif/modules/softpool.py:33-43."""
+    assert downscale_factor in {2, 4, 8}
+    assert x.shape[1] % downscale_factor == 0 and x.shape[2] % downscale_factor == 0
+    return soft_pool2d(x, downscale_factor, stride=downscale_factor, eps=eps)
