@@ -14,6 +14,10 @@ from .core.logger import logger
 ADDON_MODULES = [
     "nunif_tpu.waifu2x.training.trainer",
     "nunif_tpu.iw3.training.sbs.trainer",
+    "nunif_tpu.iw3.training.inpaint.trainer",
+    "nunif_tpu.iw3.training.sod",
+    "nunif_tpu.iw3.training.depth_aa",
+    "nunif_tpu.iw3.training.da3mono",
     "nunif_tpu.cliqa.training",
     "nunif_tpu.imagenet.training",
 ]

@@ -14,6 +14,7 @@ reference's full 2-D grid_sample with a zero y-delta, but W-contiguous.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 import math
@@ -162,7 +163,8 @@ def apply_divergence_nn_delta(model, params, c, depth, divergence, convergence,
 
 def apply_divergence_nn_delta_weight(model, params, c, depth, divergence,
                                      convergence, shift=-1,
-                                     preserve_screen_border=False):
+                                     preserve_screen_border=False,
+                                     return_mask=False):
     """MLBW multi-layer blended warp (reference iw3/backward_warp.py:263-330)."""
     if shift > 0:
         c = c[:, :, ::-1, :]
@@ -192,7 +194,25 @@ def apply_divergence_nn_delta_weight(model, params, c, depth, divergence,
         z = z[:, :, ::-1, :]
         if hole_mask_logits is not None:
             hole_mask_logits = hole_mask_logits[:, :, ::-1, :]
+    if return_mask:
+        return z, hole_mask_logits
     return z
+
+
+def postprocess_hole_mask(mask_logits, target_hw, threshold,
+                          inner_dilation=0, outer_dilation=0):
+    """reference iw3/backward_warp.py:382-393: close the raw logits,
+    resize, sigmoid-threshold, dilate.  mask_logits (B,h,w,1)."""
+    from .dilation import mask_closing, dilate_inner, dilate_outer
+    base_width = mask_logits.shape[2]
+    m = mask_closing(mask_logits, n_iter=1)
+    if tuple(m.shape[1:3]) != tuple(target_hw):
+        m = resize(m, target_hw[0], target_hw[1], mode="bilinear",
+                   antialias=False, align_corners=True)
+    mask = (jax.nn.sigmoid(m) > threshold).astype(jnp.float32)
+    mask = dilate_inner(mask, n_iter=inner_dilation, base_width=base_width)
+    mask = dilate_outer(mask, n_iter=outer_dilation, base_width=base_width)
+    return mask
 
 
 def apply_divergence_nn_LR(model, params, c, depth, divergence, convergence,

@@ -26,6 +26,7 @@ VIDEO_EXTS = {".mp4", ".mkv", ".avi", ".webm", ".mov", ".m2ts", ".ts"}
 METHODS = ["row_flow_v3", "row_flow_v2", "row_flow_v3_sym",
            "mlbw_l2", "mlbw_l4", "mlbw_l2s", "mlbw_l4s",
            "forward", "forward_fill", "forward_inpaint",
+           "mlbw_l2_inpaint", "mlbw_l2_inpaint_video",
            "grid_sample", "backward", "NULL"]
 
 
@@ -122,6 +123,14 @@ def create_stereo_model(method, checkpoint=None):
             m, p_, _ = load_model(checkpoint)
             return ForwardInpaint(m, p_), None
         return ForwardInpaint(), None
+    if method in {"mlbw_l2_inpaint", "mlbw_l2_inpaint_video"}:
+        from .mlbw_inpaint import MLBWInpaint, MLBWInpaintVideo
+        cls = MLBWInpaintVideo if method.endswith("video") else MLBWInpaint
+        if checkpoint:
+            from ..models.io import load_model
+            m, p_, _ = load_model(checkpoint)
+            return cls(inpaint_model=m, inpaint_params=p_), None
+        return cls(), None
     from ..models import create_model
     from ..models.io import load_model
     from . import models as _models  # noqa: F401 (register)

@@ -158,10 +158,27 @@ def inpaint_preprocess(x, mask, closing=False, inner_dilation=0,
     return x, mask
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_inpaint(model, closing, inner_dilation, outer_dilation,
+                    base_width):
+    import jax
+
+    @jax.jit
+    def fn(params, x, mask):
+        x, mask = inpaint_preprocess(x, mask, closing=closing,
+                                     inner_dilation=inner_dilation,
+                                     outer_dilation=outer_dilation,
+                                     base_width=base_width)
+        return model.apply_fn(params, x, mask=mask, skip_i2i_offset=True)
+    return fn
+
+
 def inpaint_infer(model, params, x, mask, closing=False, inner_dilation=0,
                   outer_dilation=0, base_width=None):
-    x, mask = inpaint_preprocess(x, mask, closing=closing,
-                                 inner_dilation=inner_dilation,
-                                 outer_dilation=outer_dilation,
-                                 base_width=base_width)
-    return model.apply_fn(params, x, mask=mask, skip_i2i_offset=True)
+    """One jitted program per (model, options, shape) — preprocess +
+    forward + composite all fuse on device."""
+    return _jitted_inpaint(model, bool(closing), inner_dilation,
+                           outer_dilation, base_width)(params, x, mask)

@@ -75,8 +75,9 @@ def apply_divergence(depth, im, cfg: StereoConfig, side_model=None,
 
     if cfg.method == "NULL":
         return im, im
-    if cfg.method == "forward_inpaint":
-        assert side_model is not None, "forward_inpaint needs an inpaint model"
+    if cfg.method in {"forward_inpaint", "mlbw_l2_inpaint",
+                      "mlbw_l2_inpaint_video"}:
+        assert side_model is not None, f"{cfg.method} needs an inpaint model"
         return side_model.infer(
             im, depth, cfg.divergence, convergence,
             synthetic_view=cfg.synthetic_view)

@@ -409,3 +409,26 @@ def weighted_loss(loss_fns, weights):
     def loss_fn(x, y):
         return sum(w * f(x, y) for f, w in zip(loss_fns, weights))
     return loss_fn
+
+
+# --------------------------------------------------------------------------
+# Masked hinge GAN loss (reference nunif/modules/gan_loss.py
+# GANMaskHingeLoss): the discriminator loss only counts patch logits whose
+# receptive field overlaps the inpainting hole mask.
+# --------------------------------------------------------------------------
+
+def _masked_mean(x, mask):
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def gan_mask_hinge_loss_d(real_logits, fake_logits, mask):
+    real = _masked_mean(jnp.minimum(real_logits.astype(jnp.float32) - 1, 0.0),
+                        mask)
+    fake = _masked_mean(jnp.minimum(-fake_logits.astype(jnp.float32) - 1, 0.0),
+                        mask)
+    return -(real + fake)
+
+
+def gan_mask_hinge_loss_g(fake_logits, mask):
+    return -_masked_mean(fake_logits.astype(jnp.float32), mask)

@@ -58,6 +58,18 @@ class GANConfig:
 def _d_loss_fns(kind):
     if kind == "hinge":
         return L.gan_hinge_loss_d, L.gan_hinge_loss_g
+    if kind == "mask_hinge":
+        # logits come paired with an aligned hole-mask grid; only masked
+        # patches count (reference GANMaskHingeLoss)
+        def d(real, fake):
+            real_logits, mask = real
+            fake_logits, _ = fake
+            return L.gan_mask_hinge_loss_d(real_logits, fake_logits, mask)
+
+        def g(fake):
+            fake_logits, mask = fake
+            return L.gan_mask_hinge_loss_g(fake_logits, mask)
+        return d, g
     if kind == "bce":
         def d(real, fake):
             return L.gan_bce_loss(real, True) + L.gan_bce_loss(fake, False)
@@ -100,10 +112,19 @@ def make_gan_train_step(g_apply: Callable, d_apply: Callable,
             return jnp.linalg.norm(leaf.astype(jnp.float32))
         return optax.global_norm(grads)
 
+    mask_mode = cfg.gan_loss == "mask_hinge"
+
+    def _d_call(d_params, img, batch):
+        if mask_mode:
+            # single head of (logits, mask-grid); d_apply takes the mask
+            return (d_apply(d_params, img, batch.get("cond"),
+                            batch["mask"]),)
+        return _multi(d_apply(d_params, img, batch.get("cond")))
+
     def g_losses(g_params, d_params, batch):
         fake = g_apply(g_params, batch)
         recon = recon_loss_fn(fake, batch["y"])
-        logits = _multi(d_apply(d_params, fake, batch.get("cond")))
+        logits = _d_call(d_params, fake, batch)
         gen = sum(w * g_gan_loss_fn(lg)
                   for w, lg in zip(d_loss_weights, logits))
         return recon, gen, fake
@@ -152,8 +173,8 @@ def make_gan_train_step(g_apply: Callable, d_apply: Callable,
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss(p):
-            real_logits = _multi(d_apply(p, batch["y"], batch.get("cond")))
-            fake_logits = _multi(d_apply(p, fake_sg, batch.get("cond")))
+            real_logits = _d_call(p, batch["y"], batch)
+            fake_logits = _d_call(p, fake_sg, batch)
             loss = sum(w * d_loss_fn(r, f) for w, r, f in
                        zip(d_loss_weights, real_logits, fake_logits))
             return loss
@@ -163,7 +184,9 @@ def make_gan_train_step(g_apply: Callable, d_apply: Callable,
         def with_r1(_):
             def r1(p):
                 def d_sum(img):
-                    logits = _multi(d_apply(p, img, batch.get("cond")))
+                    logits = _d_call(p, img, batch)
+                    if mask_mode:
+                        logits = [lg for lg, _m in logits]
                     return sum(jnp.sum(lg) for lg in logits)
                 g_img = jax.grad(d_sum)(batch["y"])
                 return (cfg.r1_gamma / 2) * jnp.mean(
