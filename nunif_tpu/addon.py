@@ -18,6 +18,7 @@ ADDON_MODULES = [
     "nunif_tpu.iw3.training.sod",
     "nunif_tpu.iw3.training.depth_aa",
     "nunif_tpu.iw3.training.da3mono",
+    "nunif_tpu.stlizer.training",
     "nunif_tpu.cliqa.training",
     "nunif_tpu.imagenet.training",
 ]

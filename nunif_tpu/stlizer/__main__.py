@@ -15,7 +15,7 @@ def main(argv=None):
     p.add_argument("--filter", default="gaussian",
                    choices=["gaussian", "savgol", "grad_opt"])
     p.add_argument("--border", default="black",
-                   choices=["black", "crop", "expand"])
+                   choices=["black", "crop", "expand", "outpaint"])
     p.add_argument("--padding", type=float, default=0.05)
     p.add_argument("--resolution", type=int, default=320)
     p.add_argument("--batch-size", type=int, default=8)

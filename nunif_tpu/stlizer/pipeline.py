@@ -229,7 +229,7 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
                     smoothing=2.0, filter_name="gaussian", border="black",
                     padding=0.05, batch_size=8, max_fps=30.0,
                     cache_dir=None, superpoint_params=None,
-                    video_config=None):
+                    video_config=None, outpaint_model=None):
     """Full 4-pass stabilization (reference stlizer/main.py:123)."""
     import jax.numpy as jnp
     from ..video import process_video, VideoOutputConfig
@@ -263,6 +263,20 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
     cy = center[1] * resize_scale
     index = [0]
 
+    if border == "outpaint":
+        from .light_outpaint_v1 import LightOutpaintV1, outpaint_infer
+        if outpaint_model is None:
+            import jax
+            import jax.numpy as _jnp
+            model = LightOutpaintV1()
+            params = model.init(jax.random.PRNGKey(0),
+                                _jnp.zeros((1, 64, 64, 3)),
+                                mask=_jnp.zeros((1, 64, 64, 1)),
+                                train=False)["params"]
+            logger.warning("stlizer outpaint: random init (no checkpoint); "
+                           "structure/smoke use only")
+            outpaint_model = (model, params)
+
     def callback(batch_u8):
         import numpy as _np
         B = batch_u8.shape[0]
@@ -285,12 +299,20 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
             [fa[min(i + j, len(fa) - 1)] for j in range(B)]), jnp.float32)
         centers = jnp.broadcast_to(
             jnp.asarray([c0, c1], jnp.float32).reshape(1, 2), (B, 2))
-        pm = "zeros" if border in {"black", "expand", "crop"} else "border"
+        pm = "border" if border == "replicate" else "zeros"
         y = apply_transform(x, shifts, jnp.ones((B,)), angles, centers,
                             padding_mode=pm)
         if border == "crop":
             crop_px = int(max(H, W) * padding)
             y = y[:, crop_px:H - crop_px, crop_px:W - crop_px]
+        elif border == "outpaint":
+            from .light_outpaint_v1 import outpaint_infer
+            ones = jnp.ones_like(x[..., :1])
+            valid = apply_transform(ones, shifts, jnp.ones((B,)), angles,
+                                    centers, padding_mode="zeros")
+            mask = (valid < 0.999).astype(x.dtype)
+            y = outpaint_infer(outpaint_model[0], outpaint_model[1],
+                               jnp.clip(y, 0.0, 1.0) * (1 - mask), mask)
         return jnp.clip(y, 0.0, 1.0)
 
     process_video(input_path, output_path, callback, batch_size=batch_size,

@@ -183,3 +183,46 @@ class TestEndToEnd:
         r = backend.VideoReader(dst)
         assert (r.width, r.height) == (128, 96)
         r.close()
+
+
+def test_light_outpaint_v1():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nunif_tpu.stlizer.light_outpaint_v1 import (
+        LightOutpaintV1, outpaint_infer,
+    )
+    model = LightOutpaintV1()
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)),
+                    jnp.float32)
+    mask = jnp.zeros((1, 64, 64, 1)).at[:, :, :8].set(1.0)
+    params = model.init(jax.random.PRNGKey(0), x * (1 - mask), mask=mask,
+                        train=False)["params"]
+    out = model.apply_fn(params, x * (1 - mask), mask=mask)
+    assert out.shape == x.shape
+    # outside the mask the source passes through
+    np.testing.assert_allclose(np.asarray(out[:, :, 16:]),
+                               np.asarray(x[:, :, 16:]), atol=1e-5)
+    # train mode returns (composited, raw)
+    out2, z = model.apply_fn(params, x * (1 - mask), mask=mask, train=True)
+    assert z.shape == x.shape
+    # infer with downscale path
+    big = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 96, 160, 3)),
+                      jnp.float32)
+    bmask = jnp.zeros((1, 96, 160, 1)).at[:, :, :10].set(1.0)
+    out3 = outpaint_infer(model, params, big * (1 - bmask), bmask, max_size=64)
+    assert out3.shape == big.shape
+
+
+def test_outpaint_training(tmp_path):
+    import argparse
+    from nunif_tpu.stlizer.training import train_main, OutpaintDataset
+    ds = OutpaintDataset(None, size=64, num_samples=2)
+    b = next(iter(ds.batches(2)))
+    assert b["y"].shape == (2, 64, 64, 3)
+    args = argparse.Namespace(
+        model_dir=str(tmp_path / "m"), data_dir=str(tmp_path / "d"),
+        max_epoch=1, optimizer="adam", learning_rate=1e-4, scheduler="none",
+        seed=71, resume=False, ema_decay=None, batch_size=2, num_samples=2,
+        size=64)
+    assert train_main(args) == 0
