@@ -42,5 +42,15 @@ def get_model_names():
     return sorted(_models.keys())
 
 
+def resolve_alias(name: str) -> str:
+    """Canonical model_name for an alias (reference
+    nunif/cli/convert_model_alias.py semantics)."""
+    entry = _models.get(name)
+    if entry is None:
+        return name
+    canonical = getattr(entry, "model_name", None)
+    return canonical or name
+
+
 def get_model_class(name: str):
     return _models[name]

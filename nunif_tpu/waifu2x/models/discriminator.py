@@ -300,3 +300,139 @@ class L3V1ConditionalDiscriminator(Discriminator):
                              scale_factor=self.scale_factor, name="v1")(
             x, c, scale_factor)
         return l3, v1
+
+
+# --------------------------------------------------------------------------
+# U3C: U-net conditional discriminator (reference waifu2x/models/u3c.py)
+# --------------------------------------------------------------------------
+
+def to_y(x):
+    """Luminance channel (BT.601) appended as a 4th input channel."""
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def modpad(x, n):
+    """Replication-pad bottom/right so H, W are multiples of n."""
+    H, W = x.shape[1:3]
+    ph = (n - H % n) % n
+    pw = (n - W % n) % n
+    if ph or pw:
+        x = replication_pad2d(x, (0, pw, 0, ph))
+    return x
+
+
+class ResBlockSNLReLU(nn.Module):
+    """Spectral-norm residual block, LeakyReLU(0.2) (reference
+    disc_utils.py ResBlockSNLReLU)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = replication_pad2d(x, (1, 1, 1, 1))
+        h = SNConv(self.out_channels, (3, 3), padding="VALID",
+                   name="conv_0")(h)
+        h = leaky_relu(h, 0.2)
+        h = replication_pad2d(h, (1, 1, 1, 1))
+        h = SNConv(self.out_channels, (3, 3), padding="VALID",
+                   name="conv_2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = SNConv(self.out_channels, (1, 1), padding="VALID",
+                       name="identity")(x)
+        return leaky_relu(h + x, 0.2)
+
+
+class ImageToConditionPatch8(nn.Module):
+    """1/8-resolution patch condition embedding (reference u3c.py:25-56)."""
+    embed_dim: int
+    outputs: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        from ...modules.resize import resize
+        x = normalize(x)
+        x = resize(x, x.shape[1] // 4, x.shape[2] // 4, mode="bilinear",
+                   antialias=True)
+        h = replication_pad2d(x, (1, 1, 1, 1))
+        h = nn.Conv(self.embed_dim, (3, 3), padding="VALID", use_bias=False,
+                    dtype=x.dtype, name="features_0")(h)
+        h = leaky_relu(h, 0.2)
+        # strided GN residual block (stride 2 -> 1/8 total)
+        s = nn.Conv(self.embed_dim, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False, dtype=h.dtype,
+                    name="down_conv")(h)
+        s = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="down_gn")(
+            s.astype(jnp.float32)).astype(h.dtype)
+        h = leaky_relu(s, 0.2)
+        h = SEBlock(self.embed_dim, name="se")(h)
+        h = ResBlockGNLReLU(self.embed_dim, name="res")(h)
+        outs = []
+        for i, out_c in enumerate(self.outputs):
+            z = SNConv(self.embed_dim, (1, 1), padding="VALID",
+                       name=f"fc_{i}_0")(h)
+            z = leaky_relu(z, 0.2)
+            z = SNConv(out_c, (1, 1), padding="VALID", name=f"fc_{i}_2")(z)
+            outs.append(z)
+        return outs
+
+
+@register_model
+class U3ConditionalDiscriminator(Discriminator):
+    """U-net conditional discriminator with two patch heads
+    (reference u3c.py:145-240); loss_weights (0.9, 0.1)."""
+    model_name = "waifu2x.u3_conditional_discriminator"
+    out_channels: int = 1
+    loss_weights = (0.9, 0.1)
+
+    @nn.compact
+    def __call__(self, x, c=None, scale_factor=None, train: bool = False):
+        assert c is not None, "u3c is conditional"
+        x = jnp.concatenate([x, to_y(x)], axis=-1)
+        c = jnp.concatenate([c, to_y(c)], axis=-1)
+        c = fit_to_size(x, c)
+        x = modpad(x, 16)
+        c = modpad(c, 16)
+        cond = ImageToConditionPatch8(64, (256,), name="to_cond")(c)
+        x = normalize(x)
+
+        h = replication_pad2d(x, (1, 1, 1, 1))
+        h = nn.Conv(32, (3, 3), padding="VALID", use_bias=False,
+                    dtype=x.dtype, name="enc1_0")(h)
+        h = leaky_relu(h, 0.2)
+        h = replication_pad2d(h, (1, 1, 1, 1))
+        x1 = leaky_relu(SNConv(64, (4, 4), strides=(2, 2), padding="VALID",
+                               name="enc1_2")(h), 0.2)
+        h = replication_pad2d(x1, (1, 1, 1, 1))
+        x2 = leaky_relu(SNConv(128, (4, 4), strides=(2, 2), padding="VALID",
+                               name="enc2")(h), 0.2)
+        h = replication_pad2d(x2, (1, 1, 1, 1))
+        x3 = leaky_relu(SNConv(256, (4, 4), strides=(2, 2), padding="VALID",
+                               name="enc3")(h), 0.2)
+        x3 = x3 + cond[0].astype(x3.dtype)
+        x3 = ResBlockSNLReLU(256, name="enc4_0")(x3)
+        x3 = ResBlockSNLReLU(256, name="enc4_1")(x3)
+        z1 = ResBlockSNLReLU(256, name="class1_0")(x3)
+        z1 = replication_pad2d(z1, (1, 1, 1, 1))
+        z1 = SNConv(self.out_channels, (3, 3), padding="VALID",
+                    name="class1_1")(z1)
+        x4 = nn.ConvTranspose(128, (2, 2), strides=(2, 2), padding="VALID",
+                              use_bias=False, dtype=x3.dtype,
+                              name="up1", transpose_kernel=True)(x3)
+        x4 = leaky_relu(x4, 0.2)
+        x4 = ResBlockSNLReLU(128, name="dec1")(
+            x4 + SNConv(128, (1, 1), padding="VALID",
+                        name="enc2_proj")(x2))
+        x5 = nn.ConvTranspose(64, (2, 2), strides=(2, 2), padding="VALID",
+                              use_bias=False, dtype=x4.dtype,
+                              name="up2", transpose_kernel=True)(x4)
+        x5 = leaky_relu(x5, 0.2)
+        x5 = ResBlockSNLReLU(64, name="dec2")(
+            x5 + SNConv(64, (1, 1), padding="VALID",
+                        name="enc1_proj")(x1))
+        z2 = ResBlockSNLReLU(64, name="class2_0")(x5)
+        z2 = replication_pad2d(z2, (1, 1, 1, 1))
+        z2 = SNConv(self.out_channels, (3, 3), padding="VALID",
+                    name="class2_1")(z2)
+        if train:
+            return crop2d(z2, (8,) * 4), crop2d(z1, (2,) * 4)
+        return z2, z1

@@ -141,3 +141,53 @@ class TestWGMLPAndInpaint:
         d = jnp.asarray(rng.uniform(size=(1, 32, 48, 1)).astype(np.float32))
         left, right = fi.infer(x, d, 2.0, 0.5)
         assert left.shape == x.shape and right.shape == x.shape
+
+
+def test_json_model_loader(tmp_path):
+    """Round-trip: flax params -> lua-waifu2x JSON -> loader -> identical."""
+    import json
+    import numpy as np
+    import jax
+    from nunif_tpu.models import create_model
+    from nunif_tpu.waifu2x.models.json_model import load_json_model
+
+    model = create_model("waifu2x.upconv_7")
+    params = model.init_params(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    layers = []
+    for i in range(6):
+        k = np.asarray(params[f"Conv_{i}"]["kernel"])  # HWIO
+        layers.append({
+            "class_name": "nn.SpatialConvolutionMM",
+            "weight": k.transpose(3, 2, 0, 1).tolist(),  # OIHW
+            "bias": np.asarray(params[f"Conv_{i}"]["bias"]).tolist(),
+        })
+    kt = np.asarray(params["ConvTranspose2dTorch_0"]["kernel"])
+    # invert the loader's flip+transpose: (khf,kwf,I,O) -> torch (I,O,kh,kw)
+    torch_w = kt[::-1, ::-1].transpose(2, 3, 0, 1)
+    layers.append({
+        "class_name": "nn.SpatialFullConvolution",
+        "weight": torch_w.tolist(),
+        "bias": np.asarray(params["ConvTranspose2dTorch_0"]["bias"]).tolist(),
+    })
+    jf = tmp_path / "scale2.0x_model.json"
+    jf.write_text(json.dumps(layers))
+
+    model2, params2 = load_json_model(str(jf))
+    assert model2.model_name == "waifu2x.upconv_7"
+    flat1 = jax.tree_util.tree_leaves(params)
+    flat2 = jax.tree_util.tree_leaves(params2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_u3c_discriminator():
+    import jax
+    import jax.numpy as jnp
+    from nunif_tpu.models import create_model
+    d = create_model("waifu2x.u3_conditional_discriminator")
+    x = jnp.zeros((1, 64, 64, 3))
+    c = jnp.zeros((1, 32, 32, 3))  # low-res condition, fit_to_size upsamples
+    params = d.init(jax.random.PRNGKey(0), x, c=c, train=True)["params"]
+    z2, z1 = d.apply_fn(params, x, c=c, train=True)
+    assert z2.shape[1] > z1.shape[1]  # two scales
+    assert d.loss_weights == (0.9, 0.1)
