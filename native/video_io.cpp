@@ -22,6 +22,7 @@ extern "C" {
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
 #include <libavutil/display.h>
+#include <libavutil/mastering_display_metadata.h>
 #include <libswscale/swscale.h>
 }
 
@@ -61,6 +62,15 @@ struct VioReader {
     double guessed_fps = 0.0;
     int64_t nb_frames = 0;
     int rotation = 0;
+    // colorimetry (HDR metadata — role of reference nunif/utils/pyav_extra.py:6-25,
+    // which read FFmpeg mastering-display / content-light side data via ctypes)
+    int color_trc = AVCOL_TRC_UNSPECIFIED;
+    int color_primaries = AVCOL_PRI_UNSPECIFIED;
+    int colorspace = AVCOL_SPC_UNSPECIFIED;
+    int color_range = AVCOL_RANGE_UNSPECIFIED;
+    double master_max_luminance = 0.0;   // nits; 0 = absent
+    double master_min_luminance = 0.0;
+    int max_cll = 0;                     // content light level max, nits
 };
 
 VIO_API VioReader *vio_reader_open(const char *path, int rgb48,
@@ -120,7 +130,44 @@ VIO_API VioReader *vio_reader_open(const char *path, int rgb48,
     if (dm) {
         r->rotation = (int)av_display_rotation_get((const int32_t *)dm);
     }
+    // colorimetry from codec parameters (falls back to decoder context)
+    r->color_trc = st->codecpar->color_trc != AVCOL_TRC_UNSPECIFIED
+        ? st->codecpar->color_trc : r->dec->color_trc;
+    r->color_primaries = st->codecpar->color_primaries != AVCOL_PRI_UNSPECIFIED
+        ? st->codecpar->color_primaries : r->dec->color_primaries;
+    r->colorspace = st->codecpar->color_space != AVCOL_SPC_UNSPECIFIED
+        ? st->codecpar->color_space : r->dec->colorspace;
+    r->color_range = st->codecpar->color_range;
+    const uint8_t *md = av_stream_get_side_data(
+        st, AV_PKT_DATA_MASTERING_DISPLAY_METADATA, nullptr);
+    if (md) {
+        const auto *m = (const AVMasteringDisplayMetadata *)md;
+        if (m->has_luminance) {
+            r->master_max_luminance = av_q2d(m->max_luminance);
+            r->master_min_luminance = av_q2d(m->min_luminance);
+        }
+    }
+    const uint8_t *cl = av_stream_get_side_data(
+        st, AV_PKT_DATA_CONTENT_LIGHT_LEVEL, nullptr);
+    if (cl) {
+        r->max_cll = (int)((const AVContentLightMetadata *)cl)->MaxCLL;
+    }
     return r;
+}
+
+VIO_API int vio_reader_color_info(VioReader *r, int *trc, int *primaries,
+                                  int *space, int *range,
+                                  double *master_max_lum,
+                                  double *master_min_lum, int *max_cll) {
+    if (!r) return -1;
+    if (trc) *trc = r->color_trc;
+    if (primaries) *primaries = r->color_primaries;
+    if (space) *space = r->colorspace;
+    if (range) *range = r->color_range;
+    if (master_max_lum) *master_max_lum = r->master_max_luminance;
+    if (master_min_lum) *master_min_lum = r->master_min_luminance;
+    if (max_cll) *max_cll = r->max_cll;
+    return 0;
 }
 
 VIO_API int vio_reader_info(VioReader *r, int *w, int *h, double *fps,
@@ -143,11 +190,20 @@ static int reader_convert(VioReader *r, uint8_t *buf, double *pts_sec) {
         r->sws, f->width, f->height, (AVPixelFormat)f->format,
         r->width, r->height, out_fmt, SWS_BILINEAR, nullptr, nullptr, nullptr);
     if (!r->sws) return -1;
-    // colorspace negotiation: tell swscale the source matrix/range
-    const int *coeffs = sws_getCoefficients(
-        f->colorspace == AVCOL_SPC_UNSPECIFIED
-            ? (f->height > 576 ? SWS_CS_ITU709 : SWS_CS_ITU601)
-            : (f->colorspace == AVCOL_SPC_BT709 ? SWS_CS_ITU709 : SWS_CS_ITU601));
+    // colorspace negotiation: tell swscale the source matrix/range.
+    // BT.2020 (HDR) uses its own YCbCr matrix; the resulting RGB stays
+    // PQ/HLG-encoded BT.2020 and is tone-mapped to SDR on device
+    // (nunif_tpu/video/hdr.py; reference hdr2sdr nunif/utils/video.py:309).
+    int cs_sel;
+    switch (f->colorspace) {
+    case AVCOL_SPC_BT709: cs_sel = SWS_CS_ITU709; break;
+    case AVCOL_SPC_BT2020_NCL:
+    case AVCOL_SPC_BT2020_CL: cs_sel = SWS_CS_BT2020; break;
+    case AVCOL_SPC_UNSPECIFIED:
+        cs_sel = f->height > 576 ? SWS_CS_ITU709 : SWS_CS_ITU601; break;
+    default: cs_sel = SWS_CS_ITU601; break;
+    }
+    const int *coeffs = sws_getCoefficients(cs_sel);
     int src_range = (f->color_range == AVCOL_RANGE_JPEG) ? 1 : 0;
     sws_setColorspaceDetails(r->sws, coeffs, src_range,
                              sws_getCoefficients(SWS_CS_DEFAULT), 1,

@@ -50,6 +50,13 @@ def create_optimizer(name: str, lr_schedule, *, weight_decay: float = 0.0,
         opt = optax.lion(lr_schedule, b1=kw.get("b1", 0.9),
                          b2=kw.get("b2", 0.99),
                          weight_decay=weight_decay, mask=mask)
+    elif name in ("schedulefree", "schedulefree_adamw"):
+        # reference trainer.py:214-236 (RAdamScheduleFree); evaluation must
+        # read optax.contrib.schedule_free_eval_params(opt_state, params)
+        base = optax.adamw(lr_schedule, b1=0.0, b2=kw.get("b2", 0.999),
+                           weight_decay=weight_decay, mask=mask)
+        opt = optax.contrib.schedule_free(
+            base, learning_rate=lr_schedule, b1=kw.get("b1", 0.9))
     else:
         raise ValueError(f"unknown optimizer: {name}")
     if grad_clip:

@@ -55,6 +55,11 @@ def _load():
         lib.vio_reader_next.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_uint8),
                                         ctypes.POINTER(ctypes.c_double)]
+        lib.vio_reader_color_info.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int)]
         lib.vio_reader_close.argtypes = [ctypes.c_void_p]
         lib.vio_writer_open.restype = ctypes.c_void_p
         lib.vio_writer_open.argtypes = [
@@ -107,6 +112,29 @@ class VideoReader:
         self.nb_frames = nf.value
         self.rotation = rot.value
         self._dtype = np.uint16 if rgb48 else np.uint8
+        trc = ctypes.c_int()
+        pri = ctypes.c_int()
+        spc = ctypes.c_int()
+        rng = ctypes.c_int()
+        mmax = ctypes.c_double()
+        mmin = ctypes.c_double()
+        cll = ctypes.c_int()
+        lib.vio_reader_color_info(self._h, trc, pri, spc, rng, mmax, mmin, cll)
+        # AVColorTransferCharacteristic: 16=SMPTE2084(PQ), 18=ARIB-STD-B67(HLG)
+        # AVColorPrimaries: 9=BT.2020
+        self.color_trc = trc.value
+        self.color_primaries = pri.value
+        self.colorspace = spc.value
+        self.color_range = rng.value
+        self.master_max_luminance = mmax.value   # nits, 0 = absent
+        self.master_min_luminance = mmin.value
+        self.max_cll = cll.value
+
+    @property
+    def is_hdr(self) -> bool:
+        """PQ/HLG transfer or BT.2020 primaries = needs SDR tone map
+        (reference nunif/utils/video.py:1025-1041 input reformatter)."""
+        return self.color_trc in (16, 18) or self.color_primaries == 9
 
     def __iter__(self):
         return self

@@ -45,6 +45,9 @@ class VideoOutputConfig:
     audio_copy: bool = True
     output_width: Optional[int] = None
     output_height: Optional[int] = None
+    # tone-map BT.2020 PQ/HLG input to BT.709 SDR on device
+    # (reference nunif/utils/video.py:309,1025-1041)
+    hdr_tonemap: bool = True
 
 
 class FixedFPSRetimer:
@@ -114,6 +117,26 @@ def process_video(input_path: str, output_path: str,
     """
     config = config or VideoOutputConfig()
     reader = backend.VideoReader(input_path, rgb48=config.rgb48)
+    if config.hdr_tonemap and reader.is_hdr:
+        # HDR input: re-open at 16-bit for tone-map precision, then wrap the
+        # callback with the jitted device tone map producing SDR frames in
+        # the callback's expected dtype (reference input_reformatter,
+        # nunif/utils/video.py:1025-1041).
+        from . import hdr as _hdr
+        if not config.rgb48 and not reader.rgb48:
+            reader.close()
+            reader = backend.VideoReader(input_path, rgb48=True)
+        trc = reader.color_trc if reader.color_trc in (
+            _hdr.TRC_PQ, _hdr.TRC_HLG) else _hdr.TRC_PQ
+        peak = _hdr.choose_peak_nits(reader)
+        user_callback = batch_callback
+        logger.info("HDR input (trc=%d, peak=%.0f nits): tone mapping to SDR",
+                    trc, peak)
+
+        def batch_callback(batch):  # noqa: F811
+            sdr = _hdr.hdr2sdr_frames(batch, trc=trc, peak_nits=peak,
+                                      out_uint16=config.rgb48)
+            return user_callback(sdr)
     out_fps = config.fps or guess_fps(reader, config.max_fps)
 
     tmp_path = output_path + ".tmp" + os.path.splitext(output_path)[1]

@@ -30,8 +30,11 @@ class Waifu2xImageModel:
 
     def __init__(self, model_type: str = "art", model_dir: Optional[str] = None,
                  tile_size=None, batch_size=None, tta=False,
-                 keep_alpha=True):
+                 keep_alpha=True, method: str = "scale",
+                 noise_level: Optional[int] = None):
         self.model_type = model_type
+        self.method = method
+        self.noise_level = noise_level
         self.model_dir = model_dir or os.path.join(
             DEFAULT_MODEL_ROOT, model_type.replace("/", "_"))
         self.tile_size = tile_size
@@ -46,9 +49,11 @@ class Waifu2xImageModel:
     def __exit__(self, *a):
         return False
 
-    def convert(self, im, method: str = "scale",
+    def convert(self, im, method: Optional[str] = None,
                 noise_level: Optional[int] = None):
         """im: PIL.Image or HWC float array -> same kind."""
+        method = method or self.method
+        noise_level = self.noise_level if noise_level is None else noise_level
         from PIL import Image
         is_pil = isinstance(im, Image.Image)
         if is_pil:
@@ -87,11 +92,13 @@ class Waifu2xImageModel:
 
 def waifu2x(model_type: str = "art", model_dir: Optional[str] = None,
             tile_size=None, batch_size=None, tta=False, keep_alpha=True,
+            method: str = "scale", noise_level: Optional[int] = None,
             **kwargs) -> Waifu2xImageModel:
     """reference hubconf.py:16."""
     return Waifu2xImageModel(model_type=model_type, model_dir=model_dir,
                              tile_size=tile_size, batch_size=batch_size,
-                             tta=tta, keep_alpha=keep_alpha)
+                             tta=tta, keep_alpha=keep_alpha,
+                             method=method, noise_level=noise_level)
 
 
 superresolution = waifu2x

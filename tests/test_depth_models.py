@@ -149,8 +149,8 @@ class TestDepthAnything:
         x = jnp.ones((1, 64, 64, 3)) * 0.5
         d = m.infer(x)
         assert d.shape == (1, 98, 98, 1)
-        with pytest.raises(NotImplementedError):
-            create_depth_model("ZoeD_N")
+        zoe = create_depth_model("ZoeD_N")
+        assert type(zoe).__name__ == "ZoeDepthModel"
         with pytest.raises(ValueError):
             create_depth_model("bogus")
 

@@ -133,3 +133,54 @@ def test_image_loader(tmp_path):
     items2 = list(ImageLoader(directory=str(tmp_path)))
     assert len(items2) == 6
     assert sum(1 for x, m in items2 if x is None) == 1
+
+
+class TestDownloader:
+    """reference nunif/utils/downloader.py:10 (file:// URLs in tests)."""
+
+    def test_download_file_and_checksum(self, tmp_path):
+        import hashlib
+        from nunif_tpu.utils.downloader import download_file, DownloadError
+        src = tmp_path / "src.bin"
+        src.write_bytes(b"hello nunif" * 100)
+        url = src.as_uri()
+        dst = str(tmp_path / "out" / "dst.bin")
+        good = hashlib.sha256(src.read_bytes()).hexdigest()
+        seen = []
+        download_file(url, dst, progress_callback=lambda d, t: seen.append(d),
+                      sha256=good)
+        assert open(dst, "rb").read() == src.read_bytes()
+        assert seen and seen[-1] == len(src.read_bytes())
+        import pytest as _pytest
+        with _pytest.raises(DownloadError):
+            download_file(url, str(tmp_path / "bad.bin"), sha256="0" * 64)
+        assert not (tmp_path / "bad.bin").exists()
+
+    def test_archive_downloader_versioned(self, tmp_path):
+        import zipfile
+        from nunif_tpu.utils.downloader import ArchiveDownloader
+        zpath = tmp_path / "models.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            z.writestr("m/a.nztm", b"AAA")
+            z.writestr("m/b.nztm", b"BBB")
+        d = ArchiveDownloader(str(tmp_path / "cache"))
+        out = d.get_extracted(zpath.as_uri(), version="3")
+        assert open(os.path.join(out, "m", "a.nztm"), "rb").read() == b"AAA"
+        # version stamp short-circuits re-extract
+        os.unlink(os.path.join(out, "m", "a.nztm"))
+        out2 = d.get_extracted(zpath.as_uri(), version="3")
+        assert not os.path.exists(os.path.join(out2, "m", "a.nztm"))
+        # bumped version re-extracts
+        d.get_extracted(zpath.as_uri(), version="4")
+        assert os.path.exists(os.path.join(out, "m", "a.nztm"))
+
+    def test_zip_slip_rejected(self, tmp_path):
+        import zipfile
+        import pytest as _pytest
+        from nunif_tpu.utils.downloader import ArchiveDownloader, DownloadError
+        zpath = tmp_path / "evil.zip"
+        with zipfile.ZipFile(zpath, "w") as z:
+            z.writestr("../evil.txt", b"x")
+        d = ArchiveDownloader(str(tmp_path / "cache2"))
+        with _pytest.raises(DownloadError):
+            d.get_extracted(zpath.as_uri(), version="1")

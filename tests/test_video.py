@@ -142,3 +142,63 @@ class TestProcessVideo:
                           config=VideoOutputConfig(audio_copy=False))
         assert not os.path.exists(dst)
         assert not any(f.startswith("out.mp4.tmp") for f in os.listdir(tmp_path))
+
+
+class TestHDR:
+    """HDR->SDR tone map (reference hdr2sdr, nunif/utils/video.py:309)."""
+
+    def test_pq_eotf_anchors(self):
+        from nunif_tpu.video.hdr import pq_eotf
+        import jax.numpy as jnp
+        # PQ anchors: 0 -> 0 nits, 1.0 -> 10000 nits, ~0.58 -> ~203 nits
+        assert float(pq_eotf(jnp.array(0.0))) < 1e-3
+        assert abs(float(pq_eotf(jnp.array(1.0))) - 10000.0) < 1.0
+        v = float(pq_eotf(jnp.array(0.5806888810416109)))
+        assert abs(v - 203.0) < 2.0
+
+    def test_hdr2sdr_white_and_black(self):
+        import numpy as np
+        from nunif_tpu.video.hdr import hdr2sdr_frames, TRC_PQ
+        # PQ-encoded SDR reference white (203 nits) should map near SDR white
+        white = np.full((1, 8, 8, 3), int(0.5807 * 65535), np.uint16)
+        y = np.asarray(hdr2sdr_frames(white, trc=TRC_PQ, peak_nits=1000.0))
+        assert y.dtype == np.uint8
+        assert y.mean() > 190
+        black = np.zeros((1, 8, 8, 3), np.uint16)
+        y0 = np.asarray(hdr2sdr_frames(black, trc=TRC_PQ, peak_nits=1000.0))
+        assert y0.max() <= 2
+        # monotone in luminance: brighter HDR input -> brighter SDR output
+        ramp = (np.linspace(0, 1, 64) * 65535).astype(np.uint16)
+        frames = np.tile(ramp[None, :, None, None], (1, 1, 4, 3))
+        yr = np.asarray(hdr2sdr_frames(frames, trc=TRC_PQ, peak_nits=1000.0))
+        lum = yr.astype(np.float32).mean(axis=(2, 3))[0]
+        assert (np.diff(lum) >= 0).all()
+
+    def test_hlg_path(self):
+        import numpy as np
+        from nunif_tpu.video.hdr import hdr2sdr_frames, TRC_HLG
+        x = (np.random.default_rng(0).uniform(size=(2, 8, 8, 3))
+             * 255).astype(np.uint8)
+        y = np.asarray(hdr2sdr_frames(x, trc=TRC_HLG, peak_nits=1000.0))
+        assert y.shape == x.shape and y.dtype == np.uint8
+
+    def test_reader_color_info_sdr(self, tmp_path):
+        src = _make_video(str(tmp_path / "in.mp4"))
+        r = backend.VideoReader(src)
+        assert not r.is_hdr
+        assert r.master_max_luminance == 0.0
+        assert r.max_cll == 0
+        r.close()
+
+    def test_choose_peak_nits(self):
+        from nunif_tpu.video.hdr import choose_peak_nits
+
+        class R:
+            master_max_luminance = 4000.0
+            max_cll = 0
+        assert choose_peak_nits(R()) == 4000.0
+        R.master_max_luminance = 0.0
+        R.max_cll = 800
+        assert choose_peak_nits(R()) == 800.0
+        R.max_cll = 0
+        assert choose_peak_nits(R()) == 1000.0
