@@ -71,3 +71,55 @@ def replicate_params(mesh: Mesh, params):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+# --------------------------------------------------------------------------
+# tensor-parallel param partitioning (Megatron pattern over the "tp" axis)
+
+def partition_params(mesh: Mesh, params, rules, default: P = P()):
+    """Place a flax param tree on ``mesh`` with per-path PartitionSpecs.
+
+    ``rules``: ordered list of (substring_or_regex, PartitionSpec); the first
+    rule whose pattern matches the "/"-joined param path wins.  Params with
+    no matching rule use ``default`` (replicated).
+
+    Column/row parallel convention (the standard two-matmul TP schedule):
+      qkv / fc1 kernels -> P(None, "tp")   (shard output features)
+      proj / fc2 kernels -> P("tp", None)  (shard input features; XLA
+                                            inserts the psum)
+    """
+    import re
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    placed = []
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        spec = default
+        for pat, s in rules:
+            if re.search(pat, name):
+                spec = s
+                break
+        if hasattr(leaf, "ndim") and any(a is not None for a in spec):
+            # drop specs that don't fit this leaf's rank or don't divide
+            if len(spec) > leaf.ndim:
+                spec = default
+            else:
+                axis_ok = True
+                for d, a in enumerate(spec):
+                    if a is None:
+                        continue
+                    size = mesh.shape[a] if isinstance(a, str) else 1
+                    if leaf.shape[d] % size != 0:
+                        axis_ok = False
+                if not axis_ok:
+                    spec = default
+        placed.append(jax.device_put(leaf, NamedSharding(mesh, spec)))
+    return jax.tree_util.tree_unflatten(treedef, placed)
+
+
+MEGATRON_TP_RULES = [
+    (r"(qkv|fc1|mlp.*0|dense_in)/kernel", P(None, "tp")),
+    (r"(qkv|fc1|mlp.*0|dense_in)/bias", P("tp")),
+    (r"(proj|fc2|mlp.*3|dense_out)/kernel", P("tp", None)),
+]

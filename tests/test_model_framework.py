@@ -66,3 +66,32 @@ def test_weight_averaging():
     np.testing.assert_allclose(m["w"], [3.5, 3.5])
     mm = mean_state_dict([a, b])
     np.testing.assert_allclose(mm["w"], [3.0, 3.0])
+
+
+def test_partition_params_megatron_rules():
+    """TP partitioning places qkv column-wise and proj row-wise."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from nunif_tpu.parallel import (make_mesh, partition_params,
+                                    MEGATRON_TP_RULES)
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(32, name="qkv")(x)
+            x = nn.Dense(16, name="proj")(x)
+            x = nn.Dense(7, name="head")(x)  # 7 not divisible by tp=2
+            return x
+
+    m = M()
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 16)))["params"]
+    mesh = make_mesh(shape=(4, 2), axis_names=("dp", "tp"))
+    placed = partition_params(mesh, params, MEGATRON_TP_RULES)
+    assert placed["qkv"]["kernel"].sharding.spec == P(None, "tp")
+    assert placed["proj"]["kernel"].sharding.spec == P("tp", None)
+    # non-divisible head falls back to replicated
+    assert placed["head"]["kernel"].sharding.spec in (P(), P(None, None))
+    # proj bias untouched by rules -> replicated
+    assert placed["proj"]["bias"].sharding.spec in (P(), P(None,))
