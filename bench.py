@@ -33,8 +33,15 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
 
-    tile_size = int(os.environ.get("BENCH_TILE", "640"))
-    batch_size = int(os.environ.get("BENCH_BATCH", "4"))
+    # full-width rectangular tiles: a (592, 1936) grid covers 1080p in two
+    # tiles computing 1.08x the frame's pixels, vs 1.58x for 640-squares
+    tile_env = os.environ.get("BENCH_TILE", "592x1936")
+    if "x" in tile_env:
+        th, tw = tile_env.split("x")
+        tile_size = (int(th), int(tw))
+    else:
+        tile_size = int(tile_env)
+    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
     include_d2h = os.environ.get("BENCH_D2H", "0") == "1"
 
     prog = renderer.frame_program(1080, 1920, 3, tile_size=tile_size,

@@ -44,8 +44,9 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
 
     # token -> packed-window index within the pack group
     tok_win = jax.lax.broadcasted_iota(jnp.int32, (block_packs, NP), 1) // N
-    # block-diagonal validity: same packed window
-    blockdiag = tok_win[:, :, None] == tok_win[:, None, :]
+    # block-diagonal validity: same packed window (all-true when pack == 1)
+    blockdiag = (tok_win[:, :, None] == tok_win[:, None, :]) if pack > 1 \
+        else None
 
     if shift > 0:
         # global window index of every token (block_packs, NP)
@@ -66,7 +67,14 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
         same_region = None
 
     qkv = qkv_ref[:]  # (BP, NP, 3C)
-    scale = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+    # log2-domain softmax: fold log2(e) into the qk scale and bias so the
+    # softmax is exp2(s - SHIFT)/sum — no row-max pass needed.  Window
+    # attention logits are bounded (|q||k|/sqrt(d) with unit-scale inputs
+    # stays far below fp32 exp2 overflow at ~127 after the -SHIFT), and the
+    # constant shift cancels in the ratio, so this is exact up to rounding.
+    LOG2E = 1.4426950408889634
+    SHIFT = 24.0
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, qkv.dtype)
     for h in range(num_heads):
         # keep MXU inputs in the native (bf16) dtype — fp32 accumulation via
         # preferred_element_type; fp32 input copies would double VMEM traffic
@@ -79,15 +87,20 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
             preferred_element_type=jnp.float32)  # (BP, NP, NP)
         # tile the (N, N) bias across the pack grid; off-diagonal blocks get
         # the wrong bias but are -inf masked below anyway
-        bias_h = jnp.tile(bias_ref[h].astype(jnp.float32), (pack, pack))
+        bias_h = bias_ref[h].astype(jnp.float32) * LOG2E
+        if pack > 1:
+            bias_h = jnp.tile(bias_h, (pack, pack))
         scores = scores + bias_h[None]
         if same_region is not None:
-            # -100.0 matches the torchvision/XLA mask value exactly
-            scores = jnp.where(same_region, scores, scores - 100.0)
-        scores = jnp.where(blockdiag, scores, -jnp.inf)
-        scores = jax.nn.softmax(scores, axis=-1)
+            # -100.0 (×log2e in this domain) matches torchvision's mask value
+            scores = jnp.where(same_region, scores,
+                               scores - 100.0 * LOG2E)
+        if pack > 1:  # at pack==1 blockdiag is all-true — skip the pass
+            scores = jnp.where(blockdiag, scores, -jnp.inf)
+        e = jnp.exp2(scores - SHIFT)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            scores.astype(qkv.dtype), v,
+            probs.astype(qkv.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # (BP, NP, d)
         out_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
@@ -96,9 +109,10 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "window", "shift", "n_wh", "n_ww",
-                     "block_windows", "interpret"))
+                     "block_windows", "pack", "interpret"))
 def fused_window_attention(qkv, bias, *, num_heads, window, shift,
-                           n_wh, n_ww, block_windows=48, interpret=False):
+                           n_wh, n_ww, block_windows=48, pack=None,
+                           interpret=False):
     """qkv: (nw, N, 3C) with window order (batch, win_row, win_col);
     bias: (heads, N, N) fp32 relative position bias.
     Returns (nw, N, C) in qkv's dtype.
@@ -109,10 +123,12 @@ def fused_window_attention(qkv, bias, *, num_heads, window, shift,
     assert N == window * window
 
     # MXU token packing; prefer a pack that divides nw so no host-visible
-    # pad copy of the (large) qkv array is needed.  NOTE: measured neutral
-    # for N=36 on v5e (pack 2/3 ~= pack 1); enabled only when N packs to
-    # exactly 128 lanes (N=64), where it clearly helps.
-    pack = 2 if N * 2 == 128 else 1
+    # pad copy of the (large) qkv array is needed.  The kernel is MXU
+    # issue-rate bound (tiny per-window dots), so packing trades fewer,
+    # larger dots against pack^2/pack more softmax elements; with the
+    # max-free exp2 softmax the default below measured best on v5e.
+    if pack is None:
+        pack = 2 if N * 2 == 128 else 1
     while pack > 1 and nw % pack:
         pack -= 1
     # largest block (in windows) <= requested that divides nw

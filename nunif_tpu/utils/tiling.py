@@ -33,12 +33,15 @@ from ..core.dtypes import Policy, DEFAULT_POLICY
 class TileConfig:
     scale: int
     offset: int
-    tile_size: int
+    tile_h: int          # rectangular tiles: full-width tiles minimize the
+    tile_w: int          # overlap waste of the square reference grid
     blend_size: int
     h_blocks: int
     w_blocks: int
-    input_tile_step: int
-    output_tile_step: int
+    input_tile_step_h: int
+    input_tile_step_w: int
+    output_tile_step_h: int
+    output_tile_step_w: int
     pad: tuple  # (left, right, top, bottom) on the input
     y_h: int
     y_w: int
@@ -50,31 +53,61 @@ class TileConfig:
         return self.h_blocks * self.w_blocks
 
     @property
+    def tile_size(self):  # back-compat for square configs
+        assert self.tile_h == self.tile_w
+        return self.tile_h
+
+    @property
+    def out_tile_h(self) -> int:
+        return self.tile_h * self.scale - self.offset * 2
+
+    @property
+    def out_tile_w(self) -> int:
+        return self.tile_w * self.scale - self.offset * 2
+
+    @property
     def output_tile_size(self) -> int:
-        return self.tile_size * self.scale - self.offset * 2
+        assert self.tile_h == self.tile_w
+        return self.out_tile_h
+
+
+def _as_hw(tile_size):
+    if isinstance(tile_size, (tuple, list)):
+        return int(tile_size[0]), int(tile_size[1])
+    return int(tile_size), int(tile_size)
 
 
 def make_tile_config(height: int, width: int, scale: int, offset: int,
-                     tile_size: int, blend_size: int) -> TileConfig:
-    """Mirror of the reference grid math (seam_blending.py:108-143)."""
+                     tile_size, blend_size: int) -> TileConfig:
+    """Mirror of the reference grid math (seam_blending.py:108-143).
+
+    ``tile_size`` may be an int (square, the reference behavior) or an
+    (tile_h, tile_w) tuple — full-width rectangular tiles cut the overlap
+    waste of a square grid (e.g. 1080p with 640 squares computes 1.58x the
+    frame's pixels; (592, 1936) tiles compute 1.11x).
+    """
+    tile_h, tile_w = _as_hw(tile_size)
     input_offset = math.ceil(offset / scale)
     input_blend_size = math.ceil(blend_size / scale)
-    input_tile_step = tile_size - (input_offset * 2 + input_blend_size)
-    assert input_tile_step > 0, "tile_size too small for offset/blend"
+    step_h = tile_h - (input_offset * 2 + input_blend_size)
+    step_w = tile_w - (input_offset * 2 + input_blend_size)
+    assert step_h > 0 and step_w > 0, "tile_size too small for offset/blend"
 
     h_blocks = w_blocks = input_h = input_w = 0
     while input_h < height + input_offset * 2:
-        input_h = h_blocks * input_tile_step + tile_size
+        input_h = h_blocks * step_h + tile_h
         h_blocks += 1
     while input_w < width + input_offset * 2:
-        input_w = w_blocks * input_tile_step + tile_size
+        input_w = w_blocks * step_w + tile_w
         w_blocks += 1
 
     return TileConfig(
-        scale=scale, offset=offset, tile_size=tile_size, blend_size=blend_size,
+        scale=scale, offset=offset, tile_h=tile_h, tile_w=tile_w,
+        blend_size=blend_size,
         h_blocks=h_blocks, w_blocks=w_blocks,
-        input_tile_step=input_tile_step,
-        output_tile_step=input_tile_step * scale,
+        input_tile_step_h=step_h, input_tile_step_w=step_w,
+        output_tile_step_h=step_h * scale,
+        output_tile_step_w=step_w * scale,
         pad=(input_offset, input_w - (width + input_offset),
              input_offset, input_h - (height + input_offset)),
         y_h=height * scale, y_w=width * scale,
@@ -82,31 +115,32 @@ def make_tile_config(height: int, width: int, scale: int, offset: int,
     )
 
 
-def make_blend_filter(scale: int, offset: int, tile_size: int,
+def make_blend_filter(scale: int, offset: int, tile_size,
                       blend_size: int) -> np.ndarray:
     """Per-tile blend weight map (reference: seam_blending.py:145-153).
 
     Inner region weight 1.0, ramping down linearly over ``blend_size``
-    border pixels.  Returns (out_tile, out_tile) fp32.
+    border pixels.  Returns (out_tile_h, out_tile_w) fp32.
     """
-    out = tile_size * scale - offset * 2
-    w = np.ones((out, out), dtype=np.float32)
-    for i in range(blend_size):
-        # ring i counts outward from the inner region; it sits at distance
-        # (blend_size - 1 - i) from the tile border
-        value = 1.0 - (1.0 / (blend_size + 1)) * (i + 1)
-        k = i + 1
-        w[blend_size - k, blend_size - k:out - (blend_size - k)] = value
-        w[out - 1 - (blend_size - k), blend_size - k:out - (blend_size - k)] = value
-        w[blend_size - k:out - (blend_size - k), blend_size - k] = value
-        w[blend_size - k:out - (blend_size - k), out - 1 - (blend_size - k)] = value
-    return w
+    tile_h, tile_w = _as_hw(tile_size)
+    out_h = tile_h * scale - offset * 2
+    out_w = tile_w * scale - offset * 2
+    # separable ramp: weight = min over the two axes of the 1-D border ramp
+    def ramp(n):
+        r = np.ones((n,), dtype=np.float32)
+        for i in range(blend_size):
+            value = 1.0 - (1.0 / (blend_size + 1)) * (i + 1)
+            d = blend_size - 1 - i
+            r[d] = value
+            r[n - 1 - d] = value
+        return r
+    return np.minimum(ramp(out_h)[:, None], ramp(out_w)[None, :])
 
 
 @functools.lru_cache(maxsize=64)
-def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
+def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
                           channels, out_channels, scale, offset, blend_size,
-                          input_tile_step, output_tile_step, compute_dtype_name):
+                          tile_step_hw, compute_dtype_name):
     """Construct + jit the render program for one grid bucket.
 
     apply_hash is only part of the cache key; the actual callable is passed
@@ -114,7 +148,10 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
     """
     apply_fn = _APPLY_FNS[apply_hash]
     compute_dtype = jnp.dtype(compute_dtype_name)
-    out_tile = tile_size * scale - offset * 2
+    tile_h, tile_w = tile_hw
+    step_h, step_w = tile_step_hw
+    out_th = tile_h * scale - offset * 2
+    out_tw = tile_w * scale - offset * 2
     n_tiles = h_blocks * w_blocks
     n_padded = ((n_tiles + batch_size - 1) // batch_size) * batch_size
     n_chunks = n_padded // batch_size
@@ -122,8 +159,8 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
     # static tile origin tables
     hw = np.stack(np.meshgrid(np.arange(h_blocks), np.arange(w_blocks),
                               indexing="ij"), axis=-1).reshape(-1, 2)
-    in_origins = (hw * input_tile_step).astype(np.int32)
-    out_origins = (hw * output_tile_step).astype(np.int32)
+    in_origins = (hw * np.array([step_h, step_w])).astype(np.int32)
+    out_origins = (hw * np.array([step_h * scale, step_w * scale])).astype(np.int32)
     valid = np.ones((n_tiles,), np.float32)
     if n_padded > n_tiles:
         fill = n_padded - n_tiles
@@ -131,10 +168,11 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
         out_origins = np.concatenate([out_origins, np.zeros((fill, 2), np.int32)])
         valid = np.concatenate([valid, np.zeros((fill,), np.float32)])
 
-    blend = make_blend_filter(scale, offset, tile_size, blend_size)[..., None]
+    blend = make_blend_filter(scale, offset, (tile_h, tile_w),
+                              blend_size)[..., None]
 
-    y_buffer_h = (h_blocks - 1) * input_tile_step * scale + tile_size * scale
-    y_buffer_w = (w_blocks - 1) * input_tile_step * scale + tile_size * scale
+    y_buffer_h = ((h_blocks - 1) * step_h + tile_h) * scale
+    y_buffer_w = ((w_blocks - 1) * step_w + tile_w) * scale
 
     def render(params, x_padded):
         # x_padded: (H_in, W_in, C) fp32, already replicate-padded to the grid
@@ -146,17 +184,17 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
         def extract(origin):
             return jax.lax.dynamic_slice(
                 x_padded, (origin[0], origin[1], 0),
-                (tile_size, tile_size, channels))
+                (tile_h, tile_w, channels))
 
-        tiles = jax.vmap(extract)(in_o)  # (n_padded, t, t, C)
+        tiles = jax.vmap(extract)(in_o)  # (n_padded, th, tw, C)
         tiles = tiles.astype(compute_dtype)
-        tiles = tiles.reshape(n_chunks, batch_size, tile_size, tile_size, channels)
+        tiles = tiles.reshape(n_chunks, batch_size, tile_h, tile_w, channels)
 
         def run_chunk(tb):
             return apply_fn(params, tb).astype(jnp.float32)
 
         outs = jax.lax.map(run_chunk, tiles)
-        outs = outs.reshape(n_padded, out_tile, out_tile, out_channels)
+        outs = outs.reshape(n_padded, out_th, out_tw, out_channels)
 
         pixels0 = jnp.zeros((y_buffer_h, y_buffer_w, out_channels), jnp.float32)
         weights0 = jnp.zeros((y_buffer_h, y_buffer_w, 1), jnp.float32)
@@ -166,9 +204,9 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_size, batch_size,
             out, oo, v = inp
             w = blend_f * v
             cur_p = jax.lax.dynamic_slice(
-                pixels, (oo[0], oo[1], 0), (out_tile, out_tile, out_channels))
+                pixels, (oo[0], oo[1], 0), (out_th, out_tw, out_channels))
             cur_w = jax.lax.dynamic_slice(
-                weights, (oo[0], oo[1], 0), (out_tile, out_tile, 1))
+                weights, (oo[0], oo[1], 0), (out_th, out_tw, 1))
             pixels = jax.lax.dynamic_update_slice(
                 pixels, cur_p + out * w, (oo[0], oo[1], 0))
             weights = jax.lax.dynamic_update_slice(
@@ -210,21 +248,29 @@ class TiledRenderer:
         _register_apply_fn(self._apply_key, apply_fn)
 
     def render(self, x, tile_size=None, batch_size=None):
-        """x: (H, W, C) float32 in [0,1]. Returns (H*scale, W*scale, C_out)."""
+        """x: (H, W, C) float32 in [0,1]. Returns (H*scale, W*scale, C_out).
+
+        ``tile_size``: int (square) or (tile_h, tile_w) tuple.
+        """
         model = self.model
-        tile_size = model.find_valid_tile_size(tile_size)
+        if isinstance(tile_size, (tuple, list)):
+            tile_hw = (model.find_valid_tile_size(tile_size[0]),
+                       model.find_valid_tile_size(tile_size[1]))
+        else:
+            t = model.find_valid_tile_size(tile_size)
+            tile_hw = (t, t)
         batch_size = batch_size or model.i2i_default_batch_size
         h, w, c = x.shape
         cfg = make_tile_config(h, w, model.i2i_scale, model.i2i_offset,
-                               tile_size, model.i2i_blend_size)
+                               tile_hw, model.i2i_blend_size)
         left, right, top, bottom = cfg.pad
         x_padded = jnp.pad(jnp.asarray(x, jnp.float32),
                            ((top, bottom), (left, right), (0, 0)), mode="edge")
         out_channels = getattr(model, "out_channels", c)
         program = _build_render_program(
-            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_size,
+            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_hw,
             int(batch_size), c, out_channels, cfg.scale, cfg.offset,
-            cfg.blend_size, cfg.input_tile_step, cfg.output_tile_step,
+            cfg.blend_size, (cfg.input_tile_step_h, cfg.input_tile_step_w),
             jnp.dtype(self.policy.compute_dtype).name)
         y_full = program(self.params, x_padded)
         return y_full[:cfg.y_h, :cfg.y_w, :]
@@ -241,16 +287,21 @@ class TiledRenderer:
         ``program(params, frame) -> (h*scale, w*scale, C_out)``.
         """
         model = self.model
-        tile_size = model.find_valid_tile_size(tile_size)
+        if isinstance(tile_size, (tuple, list)):
+            tile_hw = (model.find_valid_tile_size(tile_size[0]),
+                       model.find_valid_tile_size(tile_size[1]))
+        else:
+            t = model.find_valid_tile_size(tile_size)
+            tile_hw = (t, t)
         batch_size = int(batch_size or model.i2i_default_batch_size)
         cfg = make_tile_config(h, w, model.i2i_scale, model.i2i_offset,
-                               tile_size, model.i2i_blend_size)
+                               tile_hw, model.i2i_blend_size)
         left, right, top, bottom = cfg.pad
         out_channels = getattr(model, "out_channels", c)
         inner = _build_render_program(
-            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_size,
+            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_hw,
             batch_size, c, out_channels, cfg.scale, cfg.offset,
-            cfg.blend_size, cfg.input_tile_step, cfg.output_tile_step,
+            cfg.blend_size, (cfg.input_tile_step_h, cfg.input_tile_step_w),
             jnp.dtype(self.policy.compute_dtype).name)
         in_dt = jnp.dtype(in_dtype)
         out_dt = jnp.dtype(out_dtype)

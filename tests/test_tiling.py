@@ -16,8 +16,8 @@ def test_tile_config_matches_reference_math():
     # mirror reference create_config for scale=2 offset=14 tile=64 blend=0
     cfg = make_tile_config(100, 130, scale=2, offset=14, tile_size=64, blend_size=0)
     # input_offset = 7, step = 64 - 14 = 50
-    assert cfg.input_tile_step == 50
-    assert cfg.output_tile_step == 100
+    assert cfg.input_tile_step_h == 50 and cfg.input_tile_step_w == 50
+    assert cfg.output_tile_step_h == 100 and cfg.output_tile_step_w == 100
     # h: need input_h >= 100 + 14 -> blocks*50+64: h=1:114 ok -> h_blocks=... loop
     # emulate reference loop
     def blocks(x, off, step, tile):
@@ -82,3 +82,34 @@ def test_tiled_render_upscale_matches_simple_render():
     # phase is identical between the tiled and whole-image paths
     np.testing.assert_allclose(
         y[20:-20, 20:-20], y_simple[20:-20, 20:-20], atol=3e-5)
+
+
+def test_rectangular_tiles_match_square():
+    """Full-width rectangular tiles give identical output to square tiles."""
+    import jax
+    from nunif_tpu.models import create_model
+    from nunif_tpu.utils import TiledRenderer
+    import nunif_tpu.waifu2x  # noqa: F401
+
+    model = create_model("waifu2x.upconv_7")
+    params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    renderer = TiledRenderer(model, params)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(70, 150, 3)).astype(np.float32)
+    y_sq = np.asarray(renderer.render(x, tile_size=64, batch_size=2))
+    y_rect = np.asarray(renderer.render(x, tile_size=(64, 128), batch_size=2))
+    assert y_rect.shape == y_sq.shape == (140, 300, 3)
+    # both blend the same model outputs; interior must agree to bf16 tolerance
+    np.testing.assert_allclose(y_rect, y_sq, atol=2e-2)
+
+
+def test_rect_blend_filter_matches_square_rings():
+    from nunif_tpu.utils.tiling import make_blend_filter
+    sq = make_blend_filter(2, 14, 64, 4)
+    assert sq.shape == (100, 100)
+    # ring structure: outermost border lowest weight, interior 1.0
+    assert sq[0, 50] < sq[1, 50] < sq[2, 50] < sq[3, 50] < 1.0
+    assert sq[50, 50] == 1.0
+    rect = make_blend_filter(2, 14, (64, 128), 4)
+    assert rect.shape == (100, 228)
+    np.testing.assert_allclose(rect[:, :50], sq[:, :50])
