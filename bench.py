@@ -24,7 +24,55 @@ import jax
 import jax.numpy as jnp
 
 
+def bench_iw3():
+    """Secondary metric (BENCH_METRIC=iw3): 1080p 2D -> half-SBS fps.
+
+    Uses the real Any_V2_S (DINOv2 ViT-S + DPT) depth arch and row_flow_v3
+    warp at architecture-exact shapes (random init — identical compute to
+    converted weights), full composition to the output frame.
+    """
+    from nunif_tpu.iw3.pipeline import StereoConfig
+    from nunif_tpu.iw3.composition import StereoFormat
+    from nunif_tpu.iw3.depth import create_depth_model
+    from nunif_tpu.iw3.video import Iw3FrameProcessor
+    from nunif_tpu.iw3.cli import create_stereo_model
+
+    cfg = StereoConfig(method="row_flow_v3", divergence=2.0, convergence=0.5,
+                       format=StereoFormat.from_name("half_sbs"))
+    depth_model = create_depth_model(
+        os.environ.get("BENCH_IW3_DEPTH", "Any_V2_S")).load()
+    side_model, side_params = create_stereo_model(cfg.method)
+    proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params)
+    cksum = jax.jit(lambda y: jnp.sum((y * 255).astype(jnp.uint32)))
+
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = (rng.uniform(size=(bsz, 1080, 1920, 3)) * 255).astype(np.uint8)
+    out = proc(batch)
+    assert out is not None
+    _ = int(cksum(out))  # compile + warmup
+
+    n = int(os.environ.get("BENCH_FRAMES", "24"))
+    iters = max(n // bsz, 1)
+    t0 = time.perf_counter()
+    s = 0
+    for _i in range(iters):
+        s = s + cksum(proc(batch))
+    _ = int(s)
+    dt = time.perf_counter() - t0
+    fps = iters * bsz / dt
+    baseline_fps = 60.0  # >60 FPS 2D->SBS north star (BASELINE.md)
+    print(json.dumps({
+        "metric": "iw3_1080p_2d_to_half_sbs_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_METRIC", "waifu2x") == "iw3":
+        return bench_iw3()
     from nunif_tpu.models import create_model
     from nunif_tpu.utils import TiledRenderer
     import nunif_tpu.waifu2x  # noqa: F401

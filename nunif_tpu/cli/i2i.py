@@ -11,12 +11,23 @@ import sys
 import numpy as np
 
 
+def _tile_size_arg(v):
+    """int or "HxW" (rectangular tiles, e.g. 592x1936)."""
+    if v is None:
+        return None
+    s = str(v).lower()
+    if "x" in s:
+        h, w = s.split("x")
+        return (int(h), int(w))
+    return int(s)
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="i2i", description=__doc__)
     p.add_argument("--model-file", "-m", required=True)
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", required=True)
-    p.add_argument("--tile-size", type=int, default=None)
+    p.add_argument("--tile-size", type=_tile_size_arg, default=None,
+                   help="tile size: int or HxW (e.g. 592x1936)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--tta", action="store_true")
     args = p.parse_args(argv)

@@ -140,15 +140,16 @@ class GuiService:
         from ..iw3.pipeline import StereoConfig, process_image
         from ..iw3.composition import StereoFormat
         depth_name = fields.get("depth_model", "Any_V2_S")
+        fmt_name = fields.get("stereo_format", "half_sbs")
         cfg = StereoConfig(
             method=fields.get("method", "row_flow_v3"),
             divergence=float(fields.get("divergence", 2.0)),
             convergence=float(fields.get("convergence", 0.5)),
-            format=StereoFormat(kind=fields.get("stereo_format", "half_sbs")))
+            format=StereoFormat.from_name(fmt_name))
         self.settings["iw3"].update({
             "method": cfg.method, "divergence": cfg.divergence,
             "convergence": cfg.convergence,
-            "stereo_format": cfg.format.kind, "depth_model": depth_name})
+            "stereo_format": fmt_name, "depth_model": depth_name})
         self.bridge.update(job.job_id, 0, 3, "load depth model")
         dm = self.iw3_runtime(depth_name)
         x = self._decode_image(fields["file"])

@@ -31,6 +31,23 @@ class StereoFormat:
     pad: Optional[float] = None
     pad_mode: str = "tblr"
     ipd_offset: float = 0.0
+
+    @classmethod
+    def from_name(cls, name: str) -> "StereoFormat":
+        """Build from a format name: sbs (full), half_sbs, tb, half_tb,
+        cross_eyed, anaglyph, vr180, rgbd, half_rgbd."""
+        name = (name or "sbs").lower()
+        if name in ("sbs", "full_sbs"):
+            return cls()
+        if name == "anaglyph":
+            return cls(anaglyph="dubois")
+        if name.startswith("anaglyph:"):
+            return cls(anaglyph=name.split(":", 1)[1])
+        flags = {"half_sbs", "tb", "half_tb", "cross_eyed", "vr180",
+                 "rgbd", "half_rgbd"}
+        if name not in flags:
+            raise ValueError(f"unknown stereo format: {name}")
+        return cls(**{name: True})
     max_output_width: Optional[int] = None
     max_output_height: Optional[int] = None
     keep_aspect_ratio: bool = False

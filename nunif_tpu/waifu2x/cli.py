@@ -25,6 +25,16 @@ IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp", ".tif", ".tiff")
 VIDEO_EXTS = (".mp4", ".mkv", ".avi", ".webm", ".mov", ".m2ts", ".ts")
 
 
+def _tile_size_arg(v):
+    """int or "HxW" (rectangular tiles, e.g. 592x1936)."""
+    if v is None:
+        return None
+    s = str(v).lower()
+    if "x" in s:
+        h, w = s.split("x")
+        return (int(h), int(w))
+    return int(s)
+
 def create_parser():
     p = argparse.ArgumentParser(
         prog="nunif_tpu.waifu2x",
@@ -41,7 +51,8 @@ def create_parser():
     p.add_argument("--arch", type=str, default=None,
                    help="initialize this architecture with random weights "
                         "instead of loading a checkpoint (for testing)")
-    p.add_argument("--tile-size", type=int, default=None)
+    p.add_argument("--tile-size", type=_tile_size_arg, default=None,
+                   help="tile size: int or HxW (e.g. 592x1936)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--tta", action="store_true")
     p.add_argument("--format", "-f", default="png",

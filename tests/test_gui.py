@@ -204,3 +204,44 @@ class TestGuiServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(gui_server + "/api/result/zzz")
         assert ei.value.code == 404
+
+
+class TestGuiIw3:
+    def test_iw3_job_end_to_end(self, gui_server):
+        """iw3 image job through the HTTP API (random-init depth model)."""
+        from PIL import Image
+        rng = np.random.default_rng(1)
+        im = Image.fromarray(
+            (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        body, ctype = _multipart(
+            {"method": "grid_sample", "divergence": "2.0",
+             "convergence": "0.5", "stereo_format": "half_sbs",
+             "depth_model": "NULL"}, buf.getvalue())
+        req = urllib.request.Request(gui_server + "/api/iw3", data=body,
+                                     headers={"Content-Type": ctype})
+        job_id = json.loads(urllib.request.urlopen(req).read())["job_id"]
+        import time
+        for _ in range(600):
+            r = urllib.request.urlopen(gui_server + "/api/result/" + job_id)
+            if r.status == 200:
+                out = Image.open(io.BytesIO(r.read()))
+                # half-sbs: two half-width views side by side = input size
+                assert out.size == (64, 48)
+                return
+            time.sleep(0.2)
+        raise AssertionError("iw3 job did not finish")
+
+
+def test_stereo_format_from_name():
+    from nunif_tpu.iw3.composition import StereoFormat
+    import pytest as _pytest
+    assert StereoFormat.from_name("sbs") == StereoFormat()
+    assert StereoFormat.from_name("half_sbs").half_sbs
+    assert StereoFormat.from_name("tb").tb
+    assert StereoFormat.from_name("anaglyph").anaglyph == "dubois"
+    assert StereoFormat.from_name("anaglyph:color").anaglyph == "color"
+    assert StereoFormat.from_name("vr180").vr180
+    with _pytest.raises(ValueError):
+        StereoFormat.from_name("bogus")
