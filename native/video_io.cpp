@@ -58,6 +58,7 @@ struct VioReader {
     int out_bpp = 3;          // bytes per pixel of output (3 = rgb24)
     bool use_rgb48 = false;
     bool eof_sent = false;
+    bool pkt_pending = false; // packet not yet accepted by the decoder
     double duration = 0.0;
     double guessed_fps = 0.0;
     int64_t nb_frames = 0;
@@ -231,26 +232,36 @@ VIO_API int vio_reader_next(VioReader *r, uint8_t *buf, double *pts_sec) {
         if (ret != AVERROR(EAGAIN)) return ret;
         // need more input
         while (true) {
-            ret = av_read_frame(r->fmt, r->pkt);
-            if (ret == AVERROR_EOF) {
-                if (!r->eof_sent) {
-                    avcodec_send_packet(r->dec, nullptr);
-                    r->eof_sent = true;
+            if (!r->pkt_pending) {
+                ret = av_read_frame(r->fmt, r->pkt);
+                if (ret == AVERROR_EOF) {
+                    if (!r->eof_sent) {
+                        avcodec_send_packet(r->dec, nullptr);
+                        r->eof_sent = true;
+                    }
+                    break;
                 }
-                break;
-            }
-            if (ret < 0) return ret;
-            if (r->pkt->stream_index == r->stream_index) {
-                ret = avcodec_send_packet(r->dec, r->pkt);
-                av_packet_unref(r->pkt);
-                if (ret < 0 && ret != AVERROR(EAGAIN)) {
-                    // tolerate decode errors (reference safe_decode,
-                    // nunif/utils/video.py:941)
+                if (ret < 0) return ret;
+                if (r->pkt->stream_index != r->stream_index) {
+                    av_packet_unref(r->pkt);
                     continue;
                 }
+                r->pkt_pending = true;
+            }
+            ret = avcodec_send_packet(r->dec, r->pkt);
+            if (ret == AVERROR(EAGAIN)) {
+                // decoder input full: KEEP the packet pending and drain
+                // frames first (dropping it here loses a frame)
                 break;
             }
+            r->pkt_pending = false;
             av_packet_unref(r->pkt);
+            if (ret < 0) {
+                // tolerate decode errors (reference safe_decode,
+                // nunif/utils/video.py:941)
+                continue;
+            }
+            break;
         }
     }
 }
@@ -402,6 +413,9 @@ static int writer_send(VioWriter *w, AVFrame *frame) {
         ret = avcodec_receive_packet(w->enc, w->pkt);
         if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
         if (ret < 0) return ret;
+        // one frame tick: without it the mp4 muxer's edit list ends at the
+        // LAST sample's dts and the demuxer discards that sample on decode
+        if (w->pkt->duration == 0) w->pkt->duration = 1;
         av_packet_rescale_ts(w->pkt, w->enc->time_base, w->vstream->time_base);
         w->pkt->stream_index = w->vstream->index;
         ret = av_interleaved_write_frame(w->fmt, w->pkt);

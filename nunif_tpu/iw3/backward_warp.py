@@ -78,19 +78,38 @@ def make_input_tensor(c, depth, divergence, convergence, image_width,
     return jnp.concatenate(feats, axis=-1)
 
 
-def backward_warp_delta(c, delta, delta_scale):
+def backward_warp_delta(c, delta, delta_scale, max_shift=None):
     """grid = identity + delta*delta_scale in [-1,1] units (reference :70-87).
 
     c: (B,H,W,C); delta: (B,H,W) normalized x-delta.  If delta's spatial
     size differs from c it is bilinearly resized (align_corners semantics
     are immaterial for same-size; reference interpolates the grid).
+
+    ``max_shift``: when the caller knows the displacement bound (stereo
+    deltas are bounded by divergence), the warp uses the offset-enumerated
+    VPU path instead of an XLA gather — ~40x faster at 1080p on TPU.  The
+    delta is clipped to the bound (identical result whenever the model's
+    deltas respect it, which trained stereo nets do by construction).
     """
     B, H, W, _ = c.shape
     if delta.shape[1:] != (H, W):
         delta = resize(delta[..., None], H, W, mode="bilinear",
                        antialias=False)[..., 0]
     delta_px = delta.astype(jnp.float32) * delta_scale * ((W - 1) / 2.0)
+    if max_shift is not None and max_shift <= 128:
+        delta_px = jnp.clip(delta_px, -float(max_shift), float(max_shift))
+        # keep the resize matmul out of the warp's ~4*max_shift-term fused
+        # sum: XLA fusing them overflows the 16MB scoped-VMEM budget at 1080p
+        delta_px = jax.lax.optimization_barrier(delta_px)
+        return jnp.clip(warp_x_bounded(c, delta_px, int(max_shift)), 0.0, 1.0)
     return jnp.clip(warp_x(c, delta_px, padding_mode="border"), 0.0, 1.0)
+
+
+def _delta_max_shift(divergence, base_size: int) -> int:
+    """Pixel bound for NN stereo deltas: the synthesis shift is
+    divergence% of base_size halved per eye, plus headroom for the
+    learned correction."""
+    return int(math.ceil(abs(divergence) * 0.01 * base_size * 0.5)) + 8
 
 
 def apply_divergence_grid_sample(c, depth, divergence, convergence,
@@ -151,11 +170,14 @@ def apply_divergence_nn_delta(model, params, c, depth, divergence, convergence,
         delta = model.apply_fn(params, x)  # (B,H,W,1) delta_output mode
         delta_steps.append(delta[..., 0])
         if j + 1 < steps:
-            depth_warp = backward_warp_delta(depth_warp, delta_steps[-1], delta_scale)
+            depth_warp = backward_warp_delta(
+                depth_warp, delta_steps[-1], delta_scale,
+                max_shift=_delta_max_shift(divergence_step, W))
 
     c_warp = c
+    ms = _delta_max_shift(divergence_step, c.shape[2])
     for delta in delta_steps:
-        c_warp = backward_warp_delta(c_warp, delta, delta_scale)
+        c_warp = backward_warp_delta(c_warp, delta, delta_scale, max_shift=ms)
     if shift > 0:
         c_warp = c_warp[:, :, ::-1, :]
     return c_warp
@@ -185,9 +207,11 @@ def apply_divergence_nn_delta_weight(model, params, c, depth, divergence,
         layer_weight = resize(layer_weight, c.shape[1], c.shape[2],
                               mode="bilinear", antialias=True)
     delta_scale = 1.0 / (W // 2 - 1)
+    ms = _delta_max_shift(divergence, c.shape[2])
     z = jnp.zeros_like(c)
     for i in range(model.num_layers):
-        z = z + (backward_warp_delta(c, delta[..., i], delta_scale)
+        z = z + (backward_warp_delta(c, delta[..., i], delta_scale,
+                                     max_shift=ms)
                  * layer_weight[..., i:i + 1])
     z = jnp.clip(z, 0.0, 1.0)
     if shift > 0:

@@ -97,19 +97,11 @@ class BaseDepthModel(metaclass=ABCMeta):
 
     def minmax_normalize(self, depth, reset_ema=None):
         """depth: (B,H,W,1); returns list of normalized frames
-        (reference :183-196)."""
+        (reference :183-196).  One device->host sync per batch."""
         assert depth.ndim == 4
-        reset_ema = [False] * depth.shape[0] if reset_ema is None else reset_ema
-        assert len(reset_ema) == depth.shape[0]
-        out = []
-        for i in range(depth.shape[0]):
-            nd = self.minmax_normalize_chw(depth[i])
-            if nd is not None:
-                out.append(nd)
-            if reset_ema[i]:
-                out += self.flush_minmax_normalize()
-                self.reset_ema()
-        return out
+        if reset_ema is not None:
+            assert len(reset_ema) == depth.shape[0]
+        return self.scaler.update_batch(depth, reset_flags=reset_ema)
 
     # --- 16-bit depth PNG round trip (reference :198-238) ---
     @staticmethod

@@ -560,12 +560,8 @@ class VideoDepthAnythingModel(_VDACommon):
             edge_dilation=edge_dilation, metric_depth=self.metric_depth,
             force_disparity=self.force_disparity,
             depth_aa_fn=self._depth_aa_fn(depth_aa))
-        results = []
-        for i in range(out.shape[0]):
-            nd = self.minmax_normalize_chw(out[i])
-            if nd is not None:
-                results.append(nd)
-        return results
+        # batched scaler update: one device->host sync per emitted window
+        return self.scaler.update_batch(out)
 
     def infer_with_normalize(self, x, pts=None, reset_pts=(),
                              edge_dilation=0, depth_aa=False, **kwargs):

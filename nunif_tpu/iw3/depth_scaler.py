@@ -103,6 +103,98 @@ class EMAMinMaxScaler:
             return frame, self.min_value, self.max_value
         return frame
 
+    _stats_jit = None
+
+    @classmethod
+    def stats(cls, frames):
+        """(B,H,W,1) -> (B,2) per-frame [min,max] as ONE jitted program."""
+        if cls._stats_jit is None:
+            import jax
+            cls._stats_jit = jax.jit(lambda f: jnp.stack(
+                [jnp.min(f, axis=(1, 2, 3)), jnp.max(f, axis=(1, 2, 3))],
+                axis=-1))
+        return cls._stats_jit(frames)
+
+    def update_values(self, mm):
+        """Advance the EMA state machine on host scalars only.
+
+        mm: (B,2) numpy [min,max] rows.  Requires buffer_size == 1 (no
+        lookahead lag — every frame is immediately ready).  Returns (B,2)
+        numpy normalization constants.  This keeps the big depth tensors on
+        device: callers normalize with the returned constants in their own
+        jitted program.
+        """
+        assert self.buffer_size == 1, "fast path needs buffer_size == 1"
+        out = np.empty_like(mm, dtype=np.float64)
+        for i in range(mm.shape[0]):
+            mn, mx = float(mm[i, 0]), float(mm[i, 1])
+            if self.min_value is None:
+                self.min_value = mn
+                self.max_value = mx
+            else:
+                self.min_value = self.decay * self.min_value + (1 - self.decay) * mn
+                self.max_value = self.decay * self.max_value + (1 - self.decay) * mx
+            out[i, 0] = self.min_value
+            out[i, 1] = self.max_value
+        return out
+
+    def update_batch(self, frames, reset_flags=None, return_minmax=False):
+        """Batched update: (B,H,W,1) frames, ONE device->host sync for the
+        whole batch (the per-frame ``update`` syncs min/max each call, which
+        serializes the TPU pipeline).  Returns the same list the per-frame
+        loop would produce, with ready frames normalized in one vmapped op.
+        """
+        B = frames.shape[0]
+        reset_flags = reset_flags or [False] * B
+        mm = np.asarray(jnp.stack(
+            [jnp.min(frames, axis=(1, 2, 3)),
+             jnp.max(frames, axis=(1, 2, 3))], axis=-1))  # single readback
+        ready, consts = [], []
+
+        def pop_ready(frame, mn, mx):
+            ready.append(frame)
+            consts.append((mn, mx))
+
+        for i in range(B):
+            if self.minmax_buffer is None:
+                self.minmax_buffer = MinMaxBuffer(self.buffer_size)
+            self.frame_queue.append(frames[i])
+            self.minmax_buffer.add(mm[i, 0], mm[i, 1])
+            if self.minmax_buffer.is_filled():
+                min_value, max_value = self.get_minmax()
+                if self.min_value is None:
+                    self.min_value = min_value
+                    self.max_value = max_value
+                else:
+                    self.min_value = (self.decay * self.min_value
+                                      + (1 - self.decay) * min_value)
+                    self.max_value = (self.decay * self.max_value
+                                      + (1 - self.decay) * max_value)
+                pop_ready(self.frame_queue.pop(0),
+                          self.min_value, self.max_value)
+            if reset_flags[i]:
+                if self.frame_queue:
+                    if self.min_value is None:
+                        mn, mx = self.minmax_buffer.get_minmax()
+                    else:
+                        mn, mx = self.min_value, self.max_value
+                    for f in self.frame_queue:
+                        pop_ready(f, mn, mx)
+                self.reset()
+
+        if not ready:
+            return []
+        stacked = jnp.stack(ready)
+        mins = jnp.asarray([c[0] for c in consts],
+                           jnp.float32).reshape(-1, 1, 1, 1)
+        maxs = jnp.asarray([c[1] for c in consts],
+                           jnp.float32).reshape(-1, 1, 1, 1)
+        normalized = self.normalize(stacked, mins, maxs)
+        if return_minmax:
+            return [(normalized[i], consts[i][0], consts[i][1])
+                    for i in range(len(ready))]
+        return list(normalized)
+
     def flush(self, return_minmax=False):
         if not self.frame_queue:
             self.reset()

@@ -28,10 +28,11 @@ class Iw3FrameProcessor:
         self.tta = tta
         self.edge_dilation = edge_dilation
         self._rgb_queue = []
+        self._compose_jit = None
+        self._compose_norm_jit = None
+        self._prep_jit = None
 
-    def _compose(self, depths, rgbs):
-        im = jnp.stack(rgbs)
-        depth = jnp.stack(depths)
+    def _compose_impl(self, depth, im):
         # plain grid-sample warps need depth at frame resolution (the NN /
         # forward warps resize internally) — mirrors pipeline.process_image
         if self.cfg.method in {"grid_sample", "backward", "NULL"} and \
@@ -44,9 +45,37 @@ class Iw3FrameProcessor:
             metric_depth=self.depth_model.is_metric())
         return postprocess_image(left, right, self.cfg.format)
 
+    def _compose(self, depths, rgbs):
+        """One jitted program for warp + composition (the eager per-op path
+        would serialize dispatch; compiled variants are cached per shape)."""
+        if self._compose_jit is None:
+            import jax
+            self._compose_jit = jax.jit(self._compose_impl)
+        return self._compose_jit(jnp.stack(depths), jnp.stack(rgbs))
+
     def __call__(self, batch_u8: np.ndarray):
-        x = jnp.asarray(batch_u8.astype(np.float32) / 255.0)
-        x = preprocess_image(x, self.cfg)
+        # ship uint8 across host->HBM (1 byte/px); convert + preprocess in
+        # one jitted program on device
+        if self._prep_jit is None:
+            import jax
+            self._prep_jit = jax.jit(
+                lambda u8: preprocess_image(
+                    u8.astype(jnp.float32) * (1.0 / 255.0), self.cfg))
+        x = self._prep_jit(jnp.asarray(batch_u8))
+        if (not hasattr(self.depth_model, "infer_with_normalize")
+                and self.depth_model.get_ema_buffer_size() == 1):
+            # fast path: depth infer (1 program) -> (B,2) stats readback ->
+            # host EMA on scalars -> normalize+warp+compose (1 program).
+            # The generic path slices/stacks per frame and syncs more often.
+            depth = self.depth_model.infer(x, tta=self.tta,
+                                           edge_dilation=self.edge_dilation)
+            scaler = self.depth_model.scaler
+            mm = np.asarray(scaler.stats(depth))
+            consts = scaler.update_values(mm)
+            return self._compose_normalized(
+                depth, x,
+                jnp.asarray(consts[:, 0], jnp.float32),
+                jnp.asarray(consts[:, 1], jnp.float32))
         self._rgb_queue.extend(list(x))
         if hasattr(self.depth_model, "infer_with_normalize"):
             # windowed temporal models (VDA): output lags by the window
@@ -61,6 +90,18 @@ class Iw3FrameProcessor:
         rgbs = self._rgb_queue[:len(normalized)]
         del self._rgb_queue[:len(normalized)]
         return self._compose(normalized, rgbs)
+
+    def _compose_normalized(self, depth, im, mins, maxs):
+        if self._compose_norm_jit is None:
+            import jax
+            norm = self.depth_model.scaler.normalize
+
+            def fn(depth, im, mins, maxs):
+                d = norm(depth, mins[:, None, None, None],
+                         maxs[:, None, None, None])
+                return self._compose_impl(d, im)
+            self._compose_norm_jit = jax.jit(fn)
+        return self._compose_norm_jit(depth, im, mins, maxs)
 
     def flush(self):
         if hasattr(self.depth_model, "flush_with_normalize"):

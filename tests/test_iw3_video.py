@@ -1,0 +1,142 @@
+"""iw3 video pipeline end-to-end (reference iw3/utils.py:974-1170) —
+process_video_full over a synthetic clip with the fast batched path and
+the EMA-lookahead path."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def _make_video(path, n=12, w=96, h=64, fps=8):
+    from nunif_tpu.video import generate_video, VideoOutputConfig
+
+    def gen():
+        rng = np.random.default_rng(0)
+        base = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        for i in range(n):
+            yield np.roll(base, i * 2, axis=1)
+
+    generate_video(path, gen(), w, h, fps=fps,
+                   config=VideoOutputConfig(audio_copy=False))
+    return path
+
+
+@pytest.fixture(scope="module")
+def depth_model():
+    from nunif_tpu.iw3.depth import create_depth_model
+    # limit_resolution drops the ViT grid to MIN_RESOLUTION for test speed
+    return create_depth_model("Any_V2_S").load(limit_resolution=True)
+
+
+class TestIw3Video:
+    def test_process_video_full_fast_path(self, tmp_path, depth_model):
+        from nunif_tpu.iw3.pipeline import StereoConfig
+        from nunif_tpu.iw3.composition import StereoFormat
+        from nunif_tpu.iw3.video import process_video_full
+        from nunif_tpu.video import backend
+
+        src = _make_video(str(tmp_path / "in.mp4"))
+        dst = str(tmp_path / "out_sbs.mp4")
+        cfg = StereoConfig(method="grid_sample", divergence=2.0,
+                           convergence=0.5,
+                           format=StereoFormat.from_name("half_sbs"))
+        process_video_full(src, dst, cfg, depth_model, batch_size=4)
+        r = backend.VideoReader(dst)
+        assert (r.width, r.height) == (96, 64)  # half-sbs keeps frame size
+        n = sum(1 for _ in r)
+        r.close()
+        assert n == 12
+
+    def test_process_video_full_ema_lookahead(self, tmp_path, depth_model):
+        """EMA buffer > 1 exercises the lookahead queue + flush path."""
+        from nunif_tpu.iw3.pipeline import StereoConfig
+        from nunif_tpu.iw3.composition import StereoFormat
+        from nunif_tpu.iw3.video import process_video_full
+        from nunif_tpu.video import backend
+
+        src = _make_video(str(tmp_path / "in2.mp4"))
+        dst = str(tmp_path / "out_tb.mp4")
+        cfg = StereoConfig(method="grid_sample", divergence=2.0,
+                           convergence=0.5,
+                           format=StereoFormat.from_name("half_tb"))
+        process_video_full(src, dst, cfg, depth_model, batch_size=4,
+                           ema_normalize=True, ema_decay=0.75, ema_buffer=6)
+        r = backend.VideoReader(dst)
+        n = sum(1 for _ in r)
+        r.close()
+        assert n == 12  # lookahead lag fully drained by flush
+
+    def test_fast_path_matches_generic(self, depth_model):
+        """buffer_size==1 fast path == per-frame generic scaler output."""
+        from nunif_tpu.iw3.pipeline import StereoConfig
+        from nunif_tpu.iw3.composition import StereoFormat
+        from nunif_tpu.iw3.video import Iw3FrameProcessor
+        from nunif_tpu.iw3.depth_scaler import EMAMinMaxScaler
+
+        cfg = StereoConfig(method="grid_sample", divergence=2.0,
+                           convergence=0.5,
+                           format=StereoFormat.from_name("half_sbs"))
+        rng = np.random.default_rng(0)
+        batch = (rng.uniform(size=(3, 64, 96, 3)) * 255).astype(np.uint8)
+
+        depth_model.disable_ema()
+        proc = Iw3FrameProcessor(cfg, depth_model)
+        fast = np.asarray(proc(batch))
+
+        # generic path: force the queue-based branch by a buffer_size spoof
+        depth_model.scaler.reset(decay=0.0, buffer_size=1)
+        proc2 = Iw3FrameProcessor(cfg, depth_model)
+        x = proc2._prep_jit if False else None  # noqa: F841
+        import nunif_tpu.iw3.video as V
+        import jax
+        prep = jax.jit(lambda u8: u8.astype(jnp.float32) / 255.0)
+        xb = prep(jnp.asarray(batch))
+        depth = depth_model.infer(xb)
+        normalized = depth_model.scaler.update_batch(depth)
+        ref = np.asarray(proc2._compose(normalized, list(xb)))
+        np.testing.assert_allclose(fast, ref, atol=2e-2)
+
+
+class TestScalerBatchParity:
+    def test_update_batch_matches_per_frame(self):
+        from nunif_tpu.iw3.depth_scaler import EMAMinMaxScaler
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(rng.uniform(size=(7, 8, 8, 1)) * 3.0)
+        a = EMAMinMaxScaler(decay=0.75, buffer_size=3)
+        b = EMAMinMaxScaler(decay=0.75, buffer_size=3)
+        out_a = []
+        for i in range(7):
+            r = a(frames[i])
+            if r is not None:
+                out_a.append(np.asarray(r))
+        out_a += [np.asarray(f) for f in a.flush()]
+        out_b = [np.asarray(f) for f in b.update_batch(frames)]
+        out_b += [np.asarray(f) for f in b.flush()]
+        assert len(out_a) == len(out_b) == 7
+        for x, y in zip(out_a, out_b):
+            np.testing.assert_allclose(x, y, rtol=1e-5, atol=1e-6)
+
+    def test_update_values_matches_update(self):
+        from nunif_tpu.iw3.depth_scaler import EMAMinMaxScaler
+        rng = np.random.default_rng(1)
+        frames = jnp.asarray(rng.uniform(size=(5, 4, 4, 1)) * 2.0)
+        a = EMAMinMaxScaler(decay=0.9, buffer_size=1)
+        b = EMAMinMaxScaler(decay=0.9, buffer_size=1)
+        mm = np.asarray(EMAMinMaxScaler.stats(frames))
+        consts = b.update_values(mm)
+        for i in range(5):
+            _, mn, mx = a(frames[i], return_minmax=True)
+            np.testing.assert_allclose(consts[i, 0], mn, rtol=1e-6)
+            np.testing.assert_allclose(consts[i, 1], mx, rtol=1e-6)
+
+    def test_update_batch_reset_flags(self):
+        from nunif_tpu.iw3.depth_scaler import EMAMinMaxScaler
+        rng = np.random.default_rng(2)
+        frames = jnp.asarray(rng.uniform(size=(6, 4, 4, 1)))
+        s = EMAMinMaxScaler(decay=0.75, buffer_size=4)
+        out = s.update_batch(frames, reset_flags=[False, False, True,
+                                                  False, False, False])
+        # 3 frames emitted at the reset (queue flush), then queue refills
+        assert len(out) == 3
+        assert len(s.frame_queue) == 3
