@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import sys
 import threading
 import time
@@ -54,6 +55,9 @@ class GuiService:
                 "method": "row_flow_v3", "divergence": 2.0,
                 "convergence": 0.5, "stereo_format": "half_sbs",
                 "depth_model": "Any_V2_S"}),
+            "stlizer": SettingsStore("stlizer", defaults={
+                "smoothing": 2.0, "border": "black",
+                "filter_name": "gaussian"}),
         }
         self.tr = load_locale(lang)
         self.jobs: dict[str, Job] = {}
@@ -90,6 +94,10 @@ class GuiService:
                     job.result = self._run_waifu2x(job, fields)
                 elif kind == "iw3":
                     job.result = self._run_iw3(job, fields)
+                elif kind == "stlizer":
+                    job.result = self._run_stlizer(job, fields)
+                elif kind == "iw3_video":
+                    job.result = self._run_iw3_video(job, fields)
                 else:
                     raise ValueError(f"unknown job kind {kind}")
                 self.bridge.finish(job.job_id)
@@ -159,6 +167,64 @@ class GuiService:
         return self._encode_image(out)
 
 
+    # ------------------------------------------------- server-side video jobs
+    # The reference GUIs operate on local paths; uploads are impractical for
+    # video, so these jobs take input/output paths on the server.
+    def _check_paths(self, fields):
+        src = fields.get("input_path", "")
+        dst = fields.get("output_path", "")
+        if not src or not os.path.isfile(src):
+            raise ValueError(f"input_path not found: {src!r}")
+        if not dst:
+            raise ValueError("output_path required")
+        return src, dst
+
+    def _progress(self, job):
+        def cb(done, total):
+            self.bridge.update(job.job_id, int(done), int(total or 0),
+                               "frames")
+        return cb
+
+    def _run_stlizer(self, job: Job, fields: dict) -> bytes:
+        from ..stlizer.pipeline import stabilize_video
+        src, dst = self._check_paths(fields)
+        smoothing = float(fields.get("smoothing", 2.0))
+        border = fields.get("border", "black")
+        self.settings["stlizer"].update({"smoothing": smoothing,
+                                         "border": border})
+        self.bridge.update(job.job_id, 0, 0, "analyzing")
+        r = stabilize_video(src, dst, smoothing=smoothing, border=border,
+                            progress_callback=self._progress(job))
+        job.content_type = "application/json"
+        job.filename = "result.json"
+        return json.dumps({"output_path": dst, **r}).encode()
+
+    def _run_iw3_video(self, job: Job, fields: dict) -> bytes:
+        from ..iw3.pipeline import StereoConfig
+        from ..iw3.composition import StereoFormat
+        from ..iw3.video import process_video_full
+        from ..iw3.cli import create_stereo_model
+        src, dst = self._check_paths(fields)
+        fmt_name = fields.get("stereo_format", "half_sbs")
+        cfg = StereoConfig(
+            method=fields.get("method", "row_flow_v3"),
+            divergence=float(fields.get("divergence", 2.0)),
+            convergence=float(fields.get("convergence", 0.5)),
+            format=StereoFormat.from_name(fmt_name))
+        self.bridge.update(job.job_id, 0, 0, "loading depth model")
+        dm = self.iw3_runtime(fields.get("depth_model", "Any_V2_S"))
+        side_model, side_params = create_stereo_model(cfg.method)
+        from ..video import VideoOutputConfig
+        process_video_full(
+            src, dst, cfg, dm, side_model=side_model,
+            side_params=side_params,
+            video_config=VideoOutputConfig(
+                max_fps=float(fields.get("max_fps", 30.0))))
+        job.content_type = "application/json"
+        job.filename = "result.json"
+        return json.dumps({"output_path": dst}).encode()
+
+
 def _parse_body(handler) -> dict:
     from ..waifu2x.web import _parse_multipart
     return _parse_multipart(handler)
@@ -215,6 +281,27 @@ progress{{width:100%}} .row{{margin:.4em 0}}
 <option{sel(iw3['stereo_format'], 'tb')}>tb</option>
 <option{sel(iw3['stereo_format'], 'anaglyph')}>anaglyph</option></select></div>
 <button>{tr('Start')}</button></form></fieldset>
+<fieldset><legend>iw3 video ({tr('Input')}/{tr('Output')} = server paths)</legend>
+<form id="iw3_video">
+<div class="row"><label>{tr('Input')}</label><input name="input_path" size="40" required></div>
+<div class="row"><label>{tr('Output')}</label><input name="output_path" size="40" required></div>
+<div class="row"><label>{tr('Method')}</label><select name="method">
+<option>row_flow_v3</option><option>mlbw_l2</option><option>forward_fill</option>
+<option>grid_sample</option></select></div>
+<div class="row"><label>{tr('Stereo Format')}</label><select name="stereo_format">
+<option>half_sbs</option><option>sbs</option><option>tb</option></select></div>
+<div class="row"><label>{tr('Max FPS')}</label><input name="max_fps" value="30" size="5"></div>
+<button>{tr('Start')}</button></form></fieldset>
+<fieldset><legend>stlizer ({tr('Input')}/{tr('Output')} = server paths)</legend>
+<form id="stlizer">
+<div class="row"><label>{tr('Input')}</label><input name="input_path" size="40" required></div>
+<div class="row"><label>{tr('Output')}</label><input name="output_path" size="40" required></div>
+<div class="row"><label>Smoothing</label>
+<input name="smoothing" value="{service.settings['stlizer'].get('smoothing')}" size="5"></div>
+<div class="row"><label>Border</label><select name="border">
+<option>black</option><option>crop</option><option>expand</option>
+<option>outpaint</option></select></div>
+<button>{tr('Start')}</button></form></fieldset>
 <div id="status"></div><progress id="bar" value="0" max="1" hidden></progress>
 <div id="out"></div>
 <script>
@@ -237,15 +324,20 @@ async function submit(formId) {{
         es.close();
         if (e.error) {{ status.textContent = '{tr("Error")}: ' + e.error; return; }}
         status.textContent = '{tr("Done")}';
-        const img = await fetch('/api/result/' + job_id);
-        const url = URL.createObjectURL(await img.blob());
-        document.getElementById('out').innerHTML =
-          `<a href="${{url}}" download="output.png"><img src="${{url}}" style="max-width:100%"></a>`;
+        const r = await fetch('/api/result/' + job_id);
+        const ctype = r.headers.get('Content-Type') || '';
+        if (ctype.startsWith('image/')) {{
+          const url = URL.createObjectURL(await r.blob());
+          document.getElementById('out').innerHTML =
+            `<a href="${{url}}" download="output.png"><img src="${{url}}" style="max-width:100%"></a>`;
+        }} else {{
+          document.getElementById('out').textContent = await r.text();
+        }}
       }}
     }};
   }});
 }}
-submit('w2x'); submit('iw3');
+submit('w2x'); submit('iw3'); submit('iw3_video'); submit('stlizer');
 document.getElementById('w2x').action = '/api/waifu2x';
 </script></body></html>"""
 
@@ -336,6 +428,12 @@ def make_handler(service: GuiService):
                     if "file" not in fields:
                         raise ValueError("no file uploaded")
                     kind = "iw3" if path.endswith("iw3") else "waifu2x"
+                    job = service.submit(kind, fields)
+                    self._send(200, json.dumps({"job_id": job.job_id}),
+                               "application/json")
+                elif path in ("/api/stlizer", "/api/iw3_video"):
+                    fields = _parse_body(self)
+                    kind = path.rsplit("/", 1)[-1]
                     job = service.submit(kind, fields)
                     self._send(200, json.dumps({"job_id": job.job_id}),
                                "application/json")

@@ -255,6 +255,23 @@ def apply_divergence_nn_LR(model, params, c, depth, divergence, convergence,
             model, params, c, depth, div, convergence, steps=steps, shift=shift,
             preserve_screen_border=preserve_screen_border)
 
+    conv_scalar = not getattr(convergence, "ndim", 0)
+    if synthetic_view == "both" and conv_scalar:
+        # one pass for both eyes: the right eye is the flip-warp-flip of the
+        # left-eye program, so stacking [x, flip(x)] along batch runs model
+        # and warp ONCE at 2B — half the compiled graph, better MXU batching
+        B = c.shape[0]
+        c2 = jnp.concatenate([c, c[:, :, ::-1, :]], axis=0)
+        d2 = jnp.concatenate([depth, depth[:, :, ::-1, :]], axis=0)
+        if is_mlbw:
+            z = apply_divergence_nn_delta_weight(
+                model, params, c2, d2, divergence, convergence, shift=-1,
+                preserve_screen_border=preserve_screen_border)
+        else:
+            z = apply_divergence_nn_delta(
+                model, params, c2, d2, divergence, convergence, steps=steps,
+                shift=-1, preserve_screen_border=preserve_screen_border)
+        return z[:B], z[B:, :, ::-1, :]
     if synthetic_view == "both":
         return one(divergence, -1), one(divergence, 1)
     if synthetic_view == "right":

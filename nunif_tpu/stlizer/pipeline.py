@@ -229,7 +229,8 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
                     smoothing=2.0, filter_name="gaussian", border="black",
                     padding=0.05, batch_size=8, max_fps=30.0,
                     cache_dir=None, superpoint_params=None,
-                    video_config=None, outpaint_model=None):
+                    video_config=None, outpaint_model=None,
+                    progress_callback=None):
     """Full 4-pass stabilization (reference stlizer/main.py:123)."""
     import jax.numpy as jnp
     from ..video import process_video, VideoOutputConfig
@@ -316,5 +317,6 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
         return jnp.clip(y, 0.0, 1.0)
 
     process_video(input_path, output_path, callback, batch_size=batch_size,
-                  config=video_config or VideoOutputConfig(max_fps=max_fps))
+                  config=video_config or VideoOutputConfig(max_fps=max_fps),
+                  progress_callback=progress_callback)
     return {"frames": len(shift_x), "fps": fps}

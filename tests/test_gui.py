@@ -4,6 +4,7 @@ import io
 import json
 import os
 import threading
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -245,3 +246,57 @@ def test_stereo_format_from_name():
     assert StereoFormat.from_name("vr180").vr180
     with _pytest.raises(ValueError):
         StereoFormat.from_name("bogus")
+
+
+class TestGuiVideoJobs:
+    def test_stlizer_job(self, gui_server, tmp_path):
+        """Server-side-path stabilization job via the GUI API."""
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+
+        def gen():
+            rng = np.random.default_rng(0)
+            base = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+            for i in range(10):
+                yield np.roll(base, i % 3, axis=1)
+
+        src = str(tmp_path / "shaky.mp4")
+        dst = str(tmp_path / "stable.mp4")
+        generate_video(src, gen(), 64, 48, fps=8,
+                       config=VideoOutputConfig(audio_copy=False))
+        req = urllib.request.Request(
+            gui_server + "/api/stlizer",
+            data=urllib.parse.urlencode(
+                {"input_path": src, "output_path": dst,
+                 "smoothing": "1.0", "border": "black"}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        job_id = json.loads(urllib.request.urlopen(req).read())["job_id"]
+        import time
+        for _ in range(900):
+            r = urllib.request.urlopen(gui_server + "/api/result/" + job_id)
+            if r.status == 200:
+                body = json.loads(r.read())
+                assert body["output_path"] == dst
+                assert os.path.exists(dst)
+                return
+            time.sleep(0.2)
+        raise AssertionError("stlizer job did not finish")
+
+    def test_video_job_bad_path(self, gui_server):
+        req = urllib.request.Request(
+            gui_server + "/api/iw3_video",
+            data=b"input_path=/nonexistent.mp4&output_path=/tmp/x.mp4",
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        job_id = json.loads(urllib.request.urlopen(req).read())["job_id"]
+        import time
+        for _ in range(100):
+            try:
+                r = urllib.request.urlopen(
+                    gui_server + "/api/result/" + job_id)
+                if r.status == 202:
+                    time.sleep(0.1)
+                    continue
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert b"not found" in e.read()
+                return
+        raise AssertionError("expected job failure")
