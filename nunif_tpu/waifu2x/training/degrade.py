@@ -13,6 +13,7 @@ Behavioral parity target:
 """
 from __future__ import annotations
 
+import os
 import random
 from io import BytesIO
 
@@ -95,9 +96,36 @@ def sharpen_noise(original: Image.Image, noisy: Image.Image,
     return Image.fromarray(out)
 
 
+_QTABLES = None
+
+
+def _load_qtables():
+    """104 sampled real-world JPEG quantization tables, converted from the
+    reference's bundled _qtables_1.pth (reference jpeg_noise.py:44-45)."""
+    global _QTABLES
+    if _QTABLES is None:
+        path = os.path.join(os.path.dirname(__file__), "_qtables.npz")
+        arr = np.load(path)["qtables"]
+        _QTABLES = [[arr[i, 0].tolist(), arr[i, 1].tolist()]
+                    for i in range(arr.shape[0])]
+    return _QTABLES
+
+
+def add_jpeg_noise_qtable(im: Image.Image) -> Image.Image:
+    """JPEG-compress with a random real-world qtable
+    (reference jpeg_noise.py:88-94)."""
+    buf = BytesIO()
+    im.save(buf, format="jpeg", qtables=random.choice(_load_qtables()),
+            subsampling="4:2:0")
+    buf.seek(0)
+    out = Image.open(buf)
+    out.load()
+    return out
+
+
 class RandomJPEGNoise:
-    """reference jpeg_noise.py:222-290 (qtable branch omitted — no bundled
-    qtables; the multi-pass quality schedule carries the distribution)."""
+    """reference jpeg_noise.py:222-290 incl. the real-qtable branch (photo
+    style, noise levels 2-3, p=0.25)."""
 
     def __init__(self, style: str, noise_level: int):
         assert noise_level in {0, 1, 2, 3} and style in {"art", "photo"}
@@ -118,6 +146,17 @@ class RandomJPEGNoise:
                 return x, y
         else:
             noise_level = self.noise_level
+
+        if (self.style == "photo" and noise_level in {2, 3}
+                and random.uniform(0, 1) < 0.25):
+            # real-world qtable branch (reference jpeg_noise.py:250-266)
+            x = add_jpeg_noise_qtable(x)
+            strength_factor = 1.0 if noise_level == 3 else 0.75
+            if random.uniform(0, 1) < 0.5 and random.uniform(0, 1) < 0.25:
+                x = sharpen_noise(original_x, x,
+                                  strength=random.uniform(0.05, 0.2)
+                                  * strength_factor)
+            return x, y
 
         qualities = choose_jpeg_quality(self.style, noise_level)
         subsampling = ("4:2:0" if random.uniform(0, 1) < JPEG_CHROMA_SUBSAMPLING_RATE
