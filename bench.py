@@ -52,6 +52,32 @@ def bench_iw3():
     assert out is not None
     _ = int(cksum(out))  # compile + warmup
 
+    if os.environ.get("BENCH_IW3_STAGES") == "1":
+        # stage split (readback-timed): depth infer vs warp+compose
+        import jax.numpy as _jnp
+        x = proc._prep_jit(jax.numpy.asarray(batch))
+        d = depth_model.infer(x)
+        _ = float(_jnp.sum(d))
+        t0 = time.perf_counter()
+        s = 0.0
+        for _i in range(4):
+            s = s + _jnp.sum(depth_model.infer(x))
+        _ = float(s)
+        print(f"depth: {(time.perf_counter()-t0)/4*1000:.0f} ms/batch",
+              file=sys.stderr)
+        mm = np.asarray(depth_model.scaler.stats(d))
+        consts = depth_model.scaler.update_values(mm)
+        mins = jax.numpy.asarray(consts[:, 0], _jnp.float32)
+        maxs = jax.numpy.asarray(consts[:, 1], _jnp.float32)
+        _ = float(_jnp.sum(proc._compose_normalized(d, x, mins, maxs)))
+        t0 = time.perf_counter()
+        s = 0.0
+        for _i in range(4):
+            s = s + _jnp.sum(proc._compose_normalized(d, x, mins, maxs))
+        _ = float(s)
+        print(f"compose: {(time.perf_counter()-t0)/4*1000:.0f} ms/batch",
+              file=sys.stderr)
+
     n = int(os.environ.get("BENCH_FRAMES", "24"))
     iters = max(n // bsz, 1)
     t0 = time.perf_counter()

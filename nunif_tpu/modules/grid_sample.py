@@ -178,8 +178,18 @@ def warp_x_bounded(x, delta_px, max_shift: int, padding_mode: str = "border"):
     xp = jnp.concatenate(
         [jnp.repeat(compute[:, :, :1], S, axis=2), compute,
          jnp.repeat(compute[:, :, -1:], S, axis=2)], axis=2)
+
+    # chunked accumulation: a fully-unrolled 2S+2-term sum tempts XLA into
+    # materializing many weighted terms concurrently (HBM OOM at video
+    # sizes); an optimization barrier every CHUNK terms pins one live
+    # accumulator while keeping enough unroll for fusion
+    CHUNK = 8
+    offsets = list(range(-S, S + 1))
     out = jnp.zeros_like(compute)
-    for o in range(-S, S + 1):
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(gx - (base + o)))
-        out = out + xp[:, :, o + S:o + S + W, :] * w[..., None]
+    for cs in range(0, len(offsets), CHUNK):
+        acc = out
+        for o in offsets[cs:cs + CHUNK]:
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(gx - (base + o)))
+            acc = acc + xp[:, :, o + S:o + S + W, :] * w[..., None]
+        out = jax.lax.optimization_barrier(acc)
     return out.astype(x.dtype)
