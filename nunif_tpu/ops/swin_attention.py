@@ -206,7 +206,9 @@ def _kernel_img(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, window,
     else:
         same_region = None
 
-    scale = jnp.asarray(head_dim ** -0.5, qkv.dtype)
+    LOG2E = 1.4426950408889634
+    SHIFT = 24.0
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, qkv.dtype)
     for h in range(num_heads):
         q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
         k = qkv[:, :, C + h * head_dim:C + (h + 1) * head_dim]
@@ -214,14 +216,18 @@ def _kernel_img(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, window,
         scores = jax.lax.dot_general(
             q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        bias_h = jnp.tile(bias_ref[h].astype(jnp.float32), (pack, pack))
+        bias_h = bias_ref[h].astype(jnp.float32) * LOG2E
+        if pack > 1:
+            bias_h = jnp.tile(bias_h, (pack, pack))
         scores = scores + bias_h[None]
         if same_region is not None:
-            scores = jnp.where(same_region, scores, scores - 100.0)
-        scores = jnp.where(blockdiag, scores, -jnp.inf)
-        scores = jax.nn.softmax(scores, axis=-1)
+            scores = jnp.where(same_region, scores, scores - 100.0 * LOG2E)
+        if pack > 1:
+            scores = jnp.where(blockdiag, scores, -jnp.inf)
+        e = jnp.exp2(scores - SHIFT)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
         o = jax.lax.dot_general(
-            scores.astype(qkv.dtype), v,
+            probs, v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # (bp, NP, d)
         # back to image layout, head slice written directly
