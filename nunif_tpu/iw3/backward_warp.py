@@ -105,11 +105,17 @@ def backward_warp_delta(c, delta, delta_scale, max_shift=None):
     return jnp.clip(warp_x(c, delta_px, padding_mode="border"), 0.0, 1.0)
 
 
-def _delta_max_shift(divergence, base_size: int) -> int:
+def _delta_max_shift(divergence, base_size: int):
     """Pixel bound for NN stereo deltas: the synthesis shift is
     divergence% of base_size halved per eye, plus headroom for the
-    learned correction."""
-    return int(math.ceil(abs(divergence) * 0.01 * base_size * 0.5)) + 8
+    learned correction.  Returns None when ``divergence`` is a traced
+    value (callers jitting over divergence keep the gather path)."""
+    try:
+        div = float(divergence)
+    except (TypeError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return None
+    return int(math.ceil(abs(div) * 0.01 * base_size * 0.5)) + 8
 
 
 def apply_divergence_grid_sample(c, depth, divergence, convergence,
