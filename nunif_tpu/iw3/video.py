@@ -31,6 +31,7 @@ class Iw3FrameProcessor:
         self._compose_jit = None
         self._compose_norm_jit = None
         self._prep_jit = None
+        self._infer_jit = None
 
     def _compose_impl(self, depth, im):
         # plain grid-sample warps need depth at frame resolution (the NN /
@@ -61,21 +62,34 @@ class Iw3FrameProcessor:
             self._prep_jit = jax.jit(
                 lambda u8: preprocess_image(
                     u8.astype(jnp.float32) * (1.0 / 255.0), self.cfg))
-        x = self._prep_jit(jnp.asarray(batch_u8))
         if (not hasattr(self.depth_model, "infer_with_normalize")
                 and self.depth_model.get_ema_buffer_size() == 1):
-            # fast path: depth infer (1 program) -> (B,2) stats readback ->
-            # host EMA on scalars -> normalize+warp+compose (1 program).
-            # The generic path slices/stacks per frame and syncs more often.
-            depth = self.depth_model.infer(x, tta=self.tta,
-                                           edge_dilation=self.edge_dilation)
+            # fast path: TWO device programs and ONE host sync per batch —
+            # (uint8 -> preprocess -> depth -> per-frame stats) as one
+            # program, the (B,2) stats readback feeding the host EMA
+            # scalars, then (normalize -> warp -> compose) as the second
+            # program.  Dispatch round trips dominate at small batches.
+            if self._infer_jit is None:
+                import jax
+
+                def fn(u8):
+                    x = preprocess_image(
+                        u8.astype(jnp.float32) * (1.0 / 255.0), self.cfg)
+                    depth = self.depth_model.infer(
+                        x, tta=self.tta, edge_dilation=self.edge_dilation)
+                    stats = jnp.stack(
+                        [jnp.min(depth, axis=(1, 2, 3)),
+                         jnp.max(depth, axis=(1, 2, 3))], axis=-1)
+                    return x, depth, stats
+                self._infer_jit = jax.jit(fn)
+            x, depth, stats = self._infer_jit(jnp.asarray(batch_u8))
             scaler = self.depth_model.scaler
-            mm = np.asarray(scaler.stats(depth))
-            consts = scaler.update_values(mm)
+            consts = scaler.update_values(np.asarray(stats))
             return self._compose_normalized(
                 depth, x,
                 jnp.asarray(consts[:, 0], jnp.float32),
                 jnp.asarray(consts[:, 1], jnp.float32))
+        x = self._prep_jit(jnp.asarray(batch_u8))
         self._rgb_queue.extend(list(x))
         if hasattr(self.depth_model, "infer_with_normalize"):
             # windowed temporal models (VDA): output lags by the window
