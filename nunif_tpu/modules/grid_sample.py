@@ -173,7 +173,11 @@ def warp_x_bounded(x, delta_px, max_shift: int, padding_mode: str = "border"):
     S = int(max_shift) + 1
     base = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
     gx = jnp.clip(base + delta_px.astype(jnp.float32), 0, W - 1)
-    compute = x.astype(jnp.float32)
+    # image terms stream in bf16 (halves the dominant HBM traffic; hat
+    # weights and the accumulator stay fp32, so the only loss is bf16
+    # input quantization — the same class as the reference's fp16
+    # inference); gx/hat math stays fp32 for exact tap selection
+    compute = x.astype(jnp.bfloat16)
     # replicate pad along W by S so shifted slices stay in bounds
     xp = jnp.concatenate(
         [jnp.repeat(compute[:, :, :1], S, axis=2), compute,
@@ -185,11 +189,12 @@ def warp_x_bounded(x, delta_px, max_shift: int, padding_mode: str = "border"):
     # accumulator while keeping enough unroll for fusion
     CHUNK = 8
     offsets = list(range(-S, S + 1))
-    out = jnp.zeros_like(compute)
+    out = jnp.zeros((B, H, W, C), jnp.float32)
     for cs in range(0, len(offsets), CHUNK):
         acc = out
         for o in offsets[cs:cs + CHUNK]:
             w = jnp.maximum(0.0, 1.0 - jnp.abs(gx - (base + o)))
-            acc = acc + xp[:, :, o + S:o + S + W, :] * w[..., None]
+            acc = acc + xp[:, :, o + S:o + S + W, :].astype(jnp.float32) \
+                * w[..., None]
         out = jax.lax.optimization_barrier(acc)
     return out.astype(x.dtype)
