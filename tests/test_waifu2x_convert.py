@@ -68,6 +68,46 @@ def test_vgg7_numeric_parity():
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-5)
 
 
+def _swin_parity(scale_factor, model_name, size=64, atol=3e-5):
+    from torchref.swin_unet import SwinUNet as TorchSwinUNet
+    torch.manual_seed(scale_factor)
+    tm = TorchSwinUNet(base_dim=96, base_layers=2,
+                       scale_factor=scale_factor).eval()
+    sd = tm.state_dict()
+    params = tc.convert_swin_unet(sd, base_dim=96, base_layers=2,
+                                  scale_factor=scale_factor)
+    model = create_model(model_name)
+    ref = model.init_params(jax.random.PRNGKey(0), (1, size, size, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    rng = np.random.default_rng(scale_factor)
+    x = rng.uniform(size=(1, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=atol)
+
+
+def test_swin_unet_2x_numeric_parity():
+    """Full-depth numeric parity incl. shifted-window masks and the
+    relative-position-bias table layout (reference swin_unet.py:119-199 +
+    torchvision SwinTransformerBlock V1)."""
+    _swin_parity(2, "waifu2x.swin_unet_2x")
+
+
+def test_swin_unet_1x_numeric_parity():
+    _swin_parity(1, "waifu2x.swin_unet_1x")
+
+
+def test_swin_unet_4x_numeric_parity():
+    _swin_parity(4, "waifu2x.swin_unet_4x")
+
+
 def test_swin_unet_convert_structure():
     """Synthetic torch-shaped state dict converts into the exact flax tree."""
     C, L, heads = 96, 2, 6
