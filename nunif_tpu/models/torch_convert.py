@@ -172,6 +172,91 @@ def convert_swin_unet(sd, base_dim: int = 96, base_layers: int = 2,
     return {"unet": unet}
 
 
+def _wac_block(sd, prefix):
+    """WACBlock (reference waifu2x/models/swin_unet_v2.py:67-96 +
+    nunif/modules/attention.py WindowMHA2d/WindowScoreBias)."""
+    return {
+        "mha": {"qkv_proj": linear(sd, prefix + ".mha.mha.qkv_proj"),
+                "head_proj": linear(sd, prefix + ".mha.mha.head_proj")},
+        "relative_bias": {
+            "to_bias_0": linear(sd, prefix + ".relative_bias.to_bias.0"),
+            "to_bias_2": linear(sd, prefix + ".relative_bias.to_bias.2")},
+        "norm": {"LayerNorm_0": layer_norm(sd, prefix + ".norm")},
+        "conv_mlp": {"w1": conv2d(sd, prefix + ".conv_mlp.w1"),
+                     "w2": conv2d(sd, prefix + ".conv_mlp.w2")},
+    }
+
+
+def convert_swin_unet_v2(sd, first_layers: int = 2, last_layers: int = 3):
+    """Map a reference waifu2x swin_unet_v2 (winc_unet) .pth state_dict
+    (waifu2x/models/swin_unet_v2.py:266-354) to the flax tree of
+    nunif_tpu waifu2x.swin_unet_v2_*."""
+    def wacs(prefix, n):
+        return {f"blocks_{i}": _wac_block(sd, f"{prefix}.blocks.{i}")
+                for i in range(n)}
+
+    unet = {
+        "ir": {
+            "path1_0": conv2d(sd, "unet.ir.path1.0"),
+            "path2_1": conv2d(sd, "unet.ir.path2.1"),
+            "path2_2": _wac_block(sd, "unet.ir.path2.2"),
+            "path2_3": _wac_block(sd, "unet.ir.path2.3"),
+        },
+        "patch": conv2d(sd, "unet.patch"),
+        "wac1": wacs("unet.wac1", first_layers),
+        "down1": {"conv": conv2d(sd, "unet.down1.conv")},
+        "wac2": wacs("unet.wac2", 4),
+        "up1": {"proj": conv2d(sd, "unet.up1.proj")},
+        "wac3": wacs("unet.wac3", last_layers),
+        "to_residual_image": {
+            "proj": conv2d(sd, "unet.to_residual_image.proj")},
+        "to_image": {
+            "resampling": _np(
+                sd["unet.to_image.resampling.weight"]).transpose(2, 3, 1, 0),
+            "scale_bias": _np(sd["unet.to_image.scale_bias"])},
+    }
+    return {"unet": unet}
+
+
+def _unet_conv(sd, prefix, se):
+    out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
+           "conv_2": conv2d(sd, prefix + ".conv.2")}
+    if se:
+        out["seblock"] = {"conv1": conv2d(sd, prefix + ".seblock.conv1"),
+                          "conv2": conv2d(sd, prefix + ".seblock.conv2")}
+    return out
+
+
+def convert_cunet(sd, scale: int = 1):
+    """Map a reference waifu2x cunet/upcunet .pth state_dict
+    (waifu2x/models/cunet.py:31-121) to the flax tree of
+    nunif_tpu waifu2x.cunet / waifu2x.upcunet."""
+    unet1 = {
+        "conv1": _unet_conv(sd, "unet1.conv1", se=False),
+        "conv1_down": conv2d(sd, "unet1.conv1_down"),
+        "conv2": _unet_conv(sd, "unet1.conv2", se=True),
+        "conv2_up": conv_transpose2d(sd, "unet1.conv2_up"),
+        "conv3": conv2d(sd, "unet1.conv3"),
+    }
+    if scale == 2:
+        unet1["conv_bottom"] = conv_transpose2d(sd, "unet1.conv_bottom")
+    else:
+        unet1["conv_bottom"] = conv2d(sd, "unet1.conv_bottom")
+    unet2 = {
+        "conv1": _unet_conv(sd, "unet2.conv1", se=False),
+        "conv1_down": conv2d(sd, "unet2.conv1_down"),
+        "conv2": _unet_conv(sd, "unet2.conv2", se=True),
+        "conv2_down": conv2d(sd, "unet2.conv2_down"),
+        "conv3": _unet_conv(sd, "unet2.conv3", se=True),
+        "conv3_up": conv_transpose2d(sd, "unet2.conv3_up"),
+        "conv4": _unet_conv(sd, "unet2.conv4", se=True),
+        "conv4_up": conv_transpose2d(sd, "unet2.conv4_up"),
+        "conv5": conv2d(sd, "unet2.conv5"),
+        "conv_bottom": conv2d(sd, "unet2.conv_bottom"),
+    }
+    return {"unet1": unet1, "unet2": unet2}
+
+
 def convert_upconv7(sd):
     """reference waifu2x/models/upconv_7.py:12-26 — net.{0,2,4,6,8,10} are
     3x3 convs, net.12 is ConvTranspose2d(256, out, 4, 2, 3).  The flax

@@ -108,6 +108,74 @@ def test_swin_unet_4x_numeric_parity():
     _swin_parity(4, "waifu2x.swin_unet_4x")
 
 
+def _winc_parity(model_name, torch_kwargs, size=64, atol=3e-5):
+    from torchref.winc import SwinUNetV2 as TorchSwinUNetV2
+    torch.manual_seed(7)
+    tm = TorchSwinUNetV2(**torch_kwargs).eval()
+    params = tc.convert_swin_unet_v2(tm.state_dict())
+    model = create_model(model_name)
+    ref = model.init_params(jax.random.PRNGKey(0), (1, size, size, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(size=(1, 3, size, size)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=atol)
+
+
+def test_swin_unet_v2_2x_numeric_parity():
+    """winc_unet 2x conversion: WACBlocks + score-bias MLP + residual
+    down/up + SourceResidual (reference swin_unet_v2.py:266-354)."""
+    _winc_parity("waifu2x.swin_unet_v2_2x",
+                 dict(base_dim=96, lv2_mlp_ratio=2, lv2_ratio=2,
+                      scale_factor=2))
+
+
+def test_swin_unet_v2_1x_numeric_parity():
+    _winc_parity("waifu2x.swin_unet_v2_1x",
+                 dict(base_dim=64, lv2_mlp_ratio=2, lv2_ratio=2,
+                      scale_factor=1))
+
+
+def test_swin_unet_v2_4x_numeric_parity():
+    _winc_parity("waifu2x.swin_unet_v2_4x",
+                 dict(base_dim=128, lv2_mlp_ratio=2, lv2_ratio=2,
+                      scale_factor=4))
+
+
+@pytest.mark.parametrize("scale,name", [(1, "waifu2x.cunet"),
+                                        (2, "waifu2x.upcunet")])
+def test_cunet_numeric_parity(scale, name):
+    """Cascaded U-Net conversion incl. SEBlocks and transpose convs
+    (reference waifu2x/models/cunet.py:31-121)."""
+    from torchref.cunet import CUNet as TorchCUNet
+    torch.manual_seed(scale)
+    tm = TorchCUNet(scale=scale).eval()
+    params = tc.convert_cunet(tm.state_dict(), scale=scale)
+    model = create_model(name)
+    ref = model.init_params(jax.random.PRNGKey(0), (1, 76, 76, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    rng = np.random.default_rng(scale)
+    x = rng.uniform(size=(1, 3, 76, 76)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=3e-5)
+
+
 def test_swin_unet_convert_structure():
     """Synthetic torch-shaped state dict converts into the exact flax tree."""
     C, L, heads = 96, 2, 6
