@@ -218,6 +218,60 @@ def convert_swin_unet_v2(sd, first_layers: int = 2, last_layers: int = 3):
     return {"unet": unet}
 
 
+def _wgmlp_block(sd, prefix):
+    """WGMLPBlock (reference waifu2x/models/wgmlp.py:75-102 +
+    nunif/modules/attention.py GMLP)."""
+    g = prefix + ".gmlp.gmlp"
+    return {
+        "gmlp": {"gmlp": {
+            "proj_in": linear(sd, g + ".proj_in"),
+            "proj_spatial_kernel": _np(sd[g + ".proj_spatial.weight"])[:, :, 0],
+            "proj_spatial_bias": _np(sd[g + ".proj_spatial.bias"]),
+            "proj_out": linear(sd, g + ".proj_out"),
+        }},
+        "norm1": {"LayerNorm_0": layer_norm(sd, prefix + ".norm1")},
+        "norm2": {"LayerNorm_0": layer_norm(sd, prefix + ".norm2")},
+        "conv_mlp": {"w1": conv2d(sd, prefix + ".conv_mlp.w1"),
+                     "w2": conv2d(sd, prefix + ".conv_mlp.w2")},
+    }
+
+
+def convert_wgmlp(sd, first_layers: int = 2, last_layers: int = 3):
+    """Map a reference waifu2x wgmlp_4x .pth state_dict
+    (waifu2x/models/wgmlp.py:298-354) to the flax tree of
+    nunif_tpu waifu2x.wgmlp_4x."""
+    def blocks(prefix, n):
+        return {f"blocks_{i}": _wgmlp_block(sd, f"{prefix}.blocks.{i}")
+                for i in range(n)}
+
+    unet = {
+        "ir": {
+            "patch": conv2d(sd, "unet.ir.patch"),
+            "overscan": {
+                "conv1": conv2d(sd, "unet.ir.overscan.conv1"),
+                "conv2": conv2d(sd, "unet.ir.overscan.conv2"),
+                "conv3": conv2d(sd, "unet.ir.overscan.conv3"),
+                "fuse_0": conv2d(sd, "unet.ir.overscan.fuse.0"),
+                "fuse_2": conv2d(sd, "unet.ir.overscan.fuse.2"),
+            },
+            "fusion": conv2d(sd, "unet.ir.fusion"),
+        },
+        "patch": conv2d(sd, "unet.patch"),
+        "wgmlp1": blocks("unet.wgmlp1", first_layers),
+        "down1": {"conv": conv2d(sd, "unet.down1.conv")},
+        "wgmlp2": blocks("unet.wgmlp2", 4),
+        "up1": {"proj": conv2d(sd, "unet.up1.proj")},
+        "wgmlp3": blocks("unet.wgmlp3", last_layers),
+        "to_residual_image": {
+            "proj": conv2d(sd, "unet.to_residual_image.proj")},
+        "to_image": {
+            "resampling": _np(
+                sd["unet.to_image.resampling.weight"]).transpose(2, 3, 1, 0),
+            "scale_bias": _np(sd["unet.to_image.scale_bias"])},
+    }
+    return {"unet": unet}
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}

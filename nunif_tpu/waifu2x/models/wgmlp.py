@@ -145,7 +145,9 @@ class WGMLPBase(nn.Module):
         x = WGMLPBlocks(C, mlp_ratio=self.lv1_mlp_ratio,
                         num_layers=self.last_layers,
                         conv_mlp=[True] * (self.last_layers - 1) + [False],
-                        shift=tuple(reversed([i % 2 == 0 for i in
+                        # reference wgmlp.py:326 uses get_shift_config's
+                        # last=False default here
+                        shift=tuple(reversed([i % 2 == 1 for i in
                                               range(self.last_layers)])),
                         name="wgmlp3")(x)
         x = ToImage(self.out_channels, self.scale_factor,

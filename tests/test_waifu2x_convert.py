@@ -176,6 +176,30 @@ def test_cunet_numeric_parity(scale, name):
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=3e-5)
 
 
+def test_wgmlp_numeric_parity():
+    """wgmlp_4x conversion: windowed gMLP token mixers, dilated Overscan
+    stem, residual down/up (reference waifu2x/models/wgmlp.py:298-354)."""
+    from torchref.wgmlp import WGMLP4x as TorchWGMLP4x
+    torch.manual_seed(4)
+    tm = TorchWGMLP4x(base_dim=128).eval()
+    params = tc.convert_wgmlp(tm.state_dict())
+    model = create_model("waifu2x.wgmlp_4x")
+    ref = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=3e-5)
+
+
 def test_swin_unet_convert_structure():
     """Synthetic torch-shaped state dict converts into the exact flax tree."""
     C, L, heads = 96, 2, 6
