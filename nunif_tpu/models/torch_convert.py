@@ -272,6 +272,54 @@ def convert_wgmlp(sd, first_layers: int = 2, last_layers: int = 3):
     return {"unet": unet}
 
 
+def _wa_block(sd, prefix):
+    """iw3 WABlock (reference iw3/models/row_flow_v3.py:13-29 /
+    mlbw.py:18-34)."""
+    return {
+        "mha": {"qkv_proj": linear(sd, prefix + ".mha.mha.qkv_proj"),
+                "head_proj": linear(sd, prefix + ".mha.mha.head_proj")},
+        "bias": {"to_bias_0": linear(sd, prefix + ".bias.to_bias.0"),
+                 "to_bias_2": linear(sd, prefix + ".bias.to_bias.2")},
+        "conv_mlp_0": conv2d(sd, prefix + ".conv_mlp.0"),
+        "conv_mlp_3": conv2d(sd, prefix + ".conv_mlp.3"),
+    }
+
+
+def convert_row_flow_v2(sd):
+    """reference iw3/models/row_flow_v2.py:10-48."""
+    return {
+        "feature_0": conv2d(sd, "feature.0"),
+        "non_overlap": conv2d(sd, "non_overlap"),
+        "overlap_residual_0": conv2d(sd, "overlap_residual.0"),
+        "overlap_residual_2": conv2d(sd, "overlap_residual.2"),
+        "overlap_residual_4": conv2d(sd, "overlap_residual.4"),
+        "overlap_residual_6": conv2d(sd, "overlap_residual.6"),
+    }
+
+
+def convert_row_flow_v3(sd):
+    """reference iw3/models/row_flow_v3.py:32-65."""
+    return {
+        "blocks_0": conv2d(sd, "blocks.0"),
+        "blocks_1": _wa_block(sd, "blocks.1"),
+        "blocks_2": _wa_block(sd, "blocks.2"),
+        "last_layer_1": conv2d(sd, "last_layer.1"),
+    }
+
+
+def convert_mlbw(sd, small: bool = False):
+    """reference iw3/models/mlbw.py:38-114 (l2/l4/l2s/l4s/mask variants —
+    the variant only changes channel counts, not the key layout)."""
+    n_lv2 = 2 if small else 4
+    out = {
+        "lv1_in_1": conv2d(sd, "lv1_in.1"),
+        "lv1_out_1": conv2d(sd, "lv1_out.1"),
+    }
+    for i in range(n_lv2):
+        out[f"lv2_{i}"] = _wa_block(sd, f"lv2.{i}")
+    return out
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}
