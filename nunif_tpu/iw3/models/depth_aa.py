@@ -13,7 +13,6 @@ from ...models import I2IBaseModel, register_model
 from ...modules.pad import replication_pad2d, crop2d
 from ...modules.permute import pixel_shuffle, pixel_unshuffle
 from .row_flow_v3 import WABlock as _WABlockV3
-from .mlbw import WABlock as _WABlockMLBW
 
 
 @register_model
@@ -36,9 +35,11 @@ class DepthAA(I2IBaseModel):
         h = pixel_unshuffle(h, 2)
         h = nn.Conv(32, (1, 1), padding="VALID", dtype=x.dtype,
                     name="proj_in")(h)
+        # reference depth_aa.py WABlock keeps row_flow_v3's trailing
+        # LeakyReLU on the conv MLP
         for i, shift in enumerate((True, False, True)):
-            h = _WABlockMLBW(32, (8, 8), shift=(shift, shift), num_heads=2,
-                             name=f"blocks_{i}")(h)
+            h = _WABlockV3(32, (8, 8), shift=(shift, shift), num_heads=2,
+                           name=f"blocks_{i}")(h)
         h = nn.Conv(4, (1, 1), padding="VALID", dtype=x.dtype,
                     kernel_init=nn.initializers.zeros,
                     name="proj_out")(h)

@@ -92,19 +92,18 @@ class LightVideoInpaintV1(I2IBaseModel):
         h1 = GMLPBlock(C, 16, mlp_ratio=2, shift=False, name="enc1")(h)
         h2 = nn.Conv(C2, (2, 2), strides=(2, 2), padding="VALID",
                      dtype=x.dtype, name="down")(h1)
-        # level-2 stack: 2D windows interleaved with temporal 3D blocks
+        # level-2 stack (reference :107-113): 2D windows interleaved with
+        # temporal 3D blocks — [2D shift, 3D, 2D, 3D, 2D shift]
         h2 = GMLPBlock(C2, (8, 8), mlp_ratio=self.lv2_mlp_ratio,
                        shift=True, name="enc2_0")(h2)
         h2 = GMLP3DBlock(C2, (SEQ_LEN, 1, 1), mlp_ratio=2,
                          name="enc2_1")(h2)
         h2 = GMLPBlock(C2, (8, 8), mlp_ratio=self.lv2_mlp_ratio,
                        shift=False, name="enc2_2")(h2)
-        h2 = GMLPBlock(C2, (8, 8), mlp_ratio=self.lv2_mlp_ratio,
-                       shift=False, name="enc2_3")(h2)
         h2 = GMLP3DBlock(C2, (SEQ_LEN, 1, 1), mlp_ratio=2,
-                         name="enc2_4")(h2)
+                         name="enc2_3")(h2)
         h2 = GMLPBlock(C2, (8, 8), mlp_ratio=self.lv2_mlp_ratio,
-                       shift=True, name="enc2_5")(h2)
+                       shift=True, name="enc2_4")(h2)
         h2 = nn.Conv(C * 4, (1, 1), padding="VALID", dtype=x.dtype,
                      name="up")(h2)
         h2 = pixel_shuffle(h2, 2)
@@ -124,6 +123,26 @@ class LightVideoInpaintV1(I2IBaseModel):
         if train:
             return composed
         return jnp.clip(composed, 0.0, 1.0)
+
+
+@register_model
+class LightVideoInpaintV1Medium(LightVideoInpaintV1):
+    model_name = "inpaint.light_video_inpaint_v1_medium"
+    base_dim: int = 128
+    lv2_mlp_ratio: int = 2
+
+
+@register_model
+class LightVideoInpaintV1Large(LightVideoInpaintV1):
+    model_name = "inpaint.light_video_inpaint_v1_large"
+    base_dim: int = 192
+    lv2_mlp_ratio: int = 2
+
+
+from ...models import register_model_alias  # noqa: E402
+
+register_model_alias("inpaint.light_video_inpaint_v1_small",
+                     "inpaint.light_video_inpaint_v1")
 
 
 import functools

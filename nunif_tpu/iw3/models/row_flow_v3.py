@@ -22,15 +22,18 @@ OFFSET = 32
 
 
 class WABlock(nn.Module):
-    """reference row_flow_v3.py:13-29."""
+    """reference row_flow_v3.py:13-29 (also iw3/models/depth_aa.py:11-26,
+    which adds window shift)."""
     in_channels: int
     window_size: tuple
+    shift: tuple = (False, False)
+    num_heads: int = 2
 
     @nn.compact
     def __call__(self, x):
         bias = WindowScoreBias(self.window_size, name="bias")()
-        x = x + WindowMHA2d(self.in_channels, num_heads=2,
-                            window_size=self.window_size,
+        x = x + WindowMHA2d(self.in_channels, num_heads=self.num_heads,
+                            window_size=self.window_size, shift=self.shift,
                             name="mha")(x, attn_mask=bias)
         h = nn.Conv(self.in_channels, (1, 1), padding="VALID",
                     dtype=x.dtype, name="conv_mlp_0")(x)

@@ -320,6 +320,93 @@ def convert_mlbw(sd, small: bool = False):
     return out
 
 
+def _gmlp_inner(sd, prefix):
+    """GMLP (reference nunif/modules/attention.py:621-651)."""
+    return {
+        "proj_in": linear(sd, prefix + ".proj_in"),
+        "proj_spatial_kernel": _np(sd[prefix + ".proj_spatial.weight"])[:, :, 0],
+        "proj_spatial_bias": _np(sd[prefix + ".proj_spatial.bias"]),
+        "proj_out": linear(sd, prefix + ".proj_out"),
+    }
+
+
+def _gmlp_block(sd, prefix):
+    """light_inpaint GMLPBlock / GMLP3DBlock (reference
+    iw3/models/light_inpaint_v1.py:37-49, light_video_inpaint_v1.py:45-76)."""
+    return {
+        "gmlp": {"gmlp": _gmlp_inner(sd, prefix + ".gmlp.gmlp")},
+        "norm1": {"LayerNorm_0": layer_norm(sd, prefix + ".norm1")},
+        "norm2": {"LayerNorm_0": layer_norm(sd, prefix + ".norm2")},
+        "glu_conv": {"w1": conv2d(sd, prefix + ".glu_conv.w1"),
+                     "w2": conv2d(sd, prefix + ".glu_conv.w2")},
+    }
+
+
+def convert_light_inpaint_v1(sd):
+    """reference iw3/models/light_inpaint_v1.py:52-123."""
+    return {
+        "mask_bias": _np(sd["mask_bias"]).transpose(0, 2, 3, 1),
+        "patch_0": conv2d(sd, "patch.0"),
+        "enc1": _gmlp_block(sd, "enc1"),
+        "down": conv2d(sd, "down"),
+        **{f"enc2_{i}": _gmlp_block(sd, f"enc2.{i}") for i in range(4)},
+        "up": conv2d(sd, "up"),
+        "dec1": _gmlp_block(sd, "dec1"),
+        "to_image_1": conv2d(sd, "to_image.1"),
+    }
+
+
+def convert_light_video_inpaint_v1(sd):
+    """reference iw3/models/light_video_inpaint_v1.py:90-119."""
+    return {
+        "mask_bias": _np(sd["mask_bias"]).transpose(0, 2, 3, 1),
+        "patch": conv2d(sd, "patch"),
+        "enc1": _gmlp_block(sd, "enc1"),
+        "down": conv2d(sd, "down"),
+        **{f"enc2_{i}": _gmlp_block(sd, f"enc2.{i}") for i in range(5)},
+        "up": conv2d(sd, "up"),
+        "dec1": _gmlp_block(sd, "dec1"),
+        "to_image": conv2d(sd, "to_image"),
+    }
+
+
+def convert_depth_aa(sd):
+    """reference iw3/models/depth_aa.py:29-92."""
+    return {
+        "proj_in": conv2d(sd, "proj_in"),
+        **{f"blocks_{i}": _wa_block(sd, f"blocks.{i}") for i in range(3)},
+        "proj_out": conv2d(sd, "proj_out"),
+    }
+
+
+def _vgg_block(sd, prefix, eps: float = 1e-3):
+    """SuperPoint VGGBlock: conv + post-activation BatchNorm folded into an
+    explicit affine (reference nunif/utils/superpoint.py:55-71)."""
+    gamma = _np(sd[prefix + ".bn.weight"])
+    beta = _np(sd[prefix + ".bn.bias"])
+    mean = _np(sd[prefix + ".bn.running_mean"])
+    var = _np(sd[prefix + ".bn.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    return {
+        "conv": conv2d(sd, prefix + ".conv"),
+        "bn_scale": scale.astype(np.float32),
+        "bn_bias": (beta - mean * scale).astype(np.float32),
+    }
+
+
+def convert_superpoint(sd):
+    """reference nunif/utils/superpoint.py:74-107 (4 backbone groups of 2
+    VGG blocks + detector/descriptor heads)."""
+    out = {}
+    for g in range(4):
+        for j in range(2):
+            out[f"backbone_{g}_{j}"] = _vgg_block(sd, f"backbone.{g}.{j}")
+    for head in ("detector", "descriptor"):
+        for j in range(2):
+            out[f"{head}_{j}"] = _vgg_block(sd, f"{head}.{j}")
+    return out
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}

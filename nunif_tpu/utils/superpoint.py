@@ -37,6 +37,10 @@ DEFAULT_CONF = {
 
 
 class VGGBlock(nn.Module):
+    """conv -> relu -> BN(eval) (reference superpoint.py:55-71; the BN
+    runs AFTER the activation there, so it cannot fold into the conv —
+    it is kept as an explicit affine whose scale/bias come from the
+    converted running stats; identity at random init)."""
     out_channels: int
     kernel_size: int = 3
     relu: bool = True
@@ -46,12 +50,13 @@ class VGGBlock(nn.Module):
         k = self.kernel_size
         x = nn.Conv(self.out_channels, (k, k), padding="SAME",
                     dtype=x.dtype, name="conv")(x)
-        # reference VGGBlock uses BatchNorm in eval mode; its stats fold
-        # into the conv at weight conversion — training from scratch here
-        # uses a plain conv + relu
         if self.relu:
             x = nn.relu(x)
-        return x
+        scale = self.param("bn_scale", nn.initializers.ones,
+                           (self.out_channels,))
+        bias = self.param("bn_bias", nn.initializers.zeros,
+                          (self.out_channels,))
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def batched_nms(scores, nms_radius: int):
@@ -86,6 +91,8 @@ class SuperPoint(Model):
     remove_borders: int = 4
     descriptor_dim: int = 256
     channels: tuple = (64, 64, 128, 128, 256)
+
+    dense_output: bool = False
 
     @nn.compact
     def __call__(self, image, train: bool = False):
@@ -123,6 +130,9 @@ class SuperPoint(Model):
         if pad:
             mask = jnp.zeros_like(scores).at[:, pad:-pad, pad:-pad].set(1.0)
             scores = jnp.where(mask > 0, scores, -1.0)
+
+        if self.dense_output:
+            return {"scores_dense": scores, "descriptors_dense": desc}
 
         # static top-k keypoints
         H, W = scores.shape[1:]
