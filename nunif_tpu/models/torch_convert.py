@@ -407,6 +407,62 @@ def convert_superpoint(sd):
     return out
 
 
+def conv_bn_fused(sd, conv_prefix, bn_prefix, eps: float = 1e-5):
+    """conv followed by BatchNorm (eval): fold BN stats into the conv
+    (HWIO kernel)."""
+    w = _np(sd[conv_prefix + ".weight"])  # (O, I, kh, kw)
+    b = _np(sd.get(conv_prefix + ".bias", np.zeros(w.shape[0], np.float32)))
+    gamma = _np(sd[bn_prefix + ".weight"])
+    beta = _np(sd[bn_prefix + ".bias"])
+    mean = _np(sd[bn_prefix + ".running_mean"])
+    var = _np(sd[bn_prefix + ".running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    w = w * scale[:, None, None, None]
+    b = (b - mean) * scale + beta
+    return {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": b.astype(np.float32)}
+
+
+def _rebnconv(sd, prefix):
+    """REBNCONV conv+BN fold (reference nunif/utils/u2netp.py:11-35)."""
+    return conv_bn_fused(sd, prefix + ".conv_s1", prefix + ".bn_s1")
+
+
+def _rsu(sd, prefix, height):
+    out = {"rebnconvin": _rebnconv(sd, prefix + ".rebnconvin")}
+    for i in range(1, height + 1):
+        out[f"rebnconv{i}"] = _rebnconv(sd, f"{prefix}.rebnconv{i}")
+    for i in range(height - 1, 0, -1):
+        out[f"rebnconv{i}d"] = _rebnconv(sd, f"{prefix}.rebnconv{i}d")
+    return out
+
+
+def _rsu4f(sd, prefix):
+    out = {"rebnconvin": _rebnconv(sd, prefix + ".rebnconvin")}
+    for i in range(1, 5):
+        out[f"rebnconv{i}"] = _rebnconv(sd, f"{prefix}.rebnconv{i}")
+    for i in range(3, 0, -1):
+        out[f"rebnconv{i}d"] = _rebnconv(sd, f"{prefix}.rebnconv{i}d")
+    return out
+
+
+def convert_u2netp(sd, prefix: str = ""):
+    """reference nunif/utils/u2netp.py:321-432.  ``prefix`` allows reuse
+    for iw3.sod_v1 whose checkpoint nests the net under ``u2netp.``."""
+    p = (prefix + ".") if prefix and not prefix.endswith(".") else prefix
+    heights = {"stage1": 7, "stage2": 6, "stage3": 5, "stage4": 4,
+               "stage4d": 4, "stage3d": 5, "stage2d": 6, "stage1d": 7}
+    out = {}
+    for name, h in heights.items():
+        out[name] = _rsu(sd, p + name, h)
+    for name in ("stage5", "stage6", "stage5d"):
+        out[name] = _rsu4f(sd, p + name)
+    for i in range(1, 7):
+        out[f"side{i}"] = conv2d(sd, p + f"side{i}")
+    out["outconv"] = conv2d(sd, p + "outconv")
+    return out
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}
