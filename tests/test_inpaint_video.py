@@ -34,6 +34,14 @@ def test_video_inpaint_temporal_mixing():
     x, mask = _clip(SEQ_LEN)
     params = model.init(jax.random.PRNGKey(0), x, mask=mask,
                         train=False)["params"]
+    # at random init the reference's proj_spatial kernels are ~2e-3/C so the
+    # cross-frame signal is below fp32 resolution; give the temporal blocks
+    # trained-magnitude mixing weights so the path is measurable
+    rng = np.random.default_rng(0)
+    for blk in ("enc2_1", "enc2_3"):
+        k = params[blk]["gmlp"]["gmlp"]["proj_spatial_kernel"]
+        params[blk]["gmlp"]["gmlp"]["proj_spatial_kernel"] = jnp.asarray(
+            rng.normal(0, 0.2, k.shape), jnp.float32)
     out1 = model.apply_fn(params, x, mask=mask)
     # changing ONLY frame 0 must change frame 6's inpainted region
     x2 = x.at[0].set(1.0 - x[0])
