@@ -463,6 +463,63 @@ def convert_u2netp(sd, prefix: str = ""):
     return out
 
 
+def conv3d(sd, prefix):
+    """torch Conv3d (O,I,kt,kh,kw) -> flax (kt,kh,kw,I,O)."""
+    out = {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 4, 1, 0)}
+    if _key(prefix, "bias") in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def convert_transnetv2(sd, F: int = 16, L: int = 3, S: int = 2):
+    """reference nunif/utils/transnetv2.py:7-94.  The per-DDCNN
+    BatchNorm3d (eval) folds into each dilation branch's conv2 slice."""
+    out = {}
+    for i in range(L):
+        filters = F * (2 ** i)
+        blocks = {}
+        for j in range(S):
+            p = f"SDDCNN.{i}.DDCNN.{j}"
+            gamma = _np(sd[p + ".bn.weight"])
+            beta = _np(sd[p + ".bn.bias"])
+            mean = _np(sd[p + ".bn.running_mean"])
+            var = _np(sd[p + ".bn.running_var"])
+            scale = gamma / np.sqrt(var + 1e-3)
+            branches = {}
+            for k, d in enumerate((1, 2, 4, 8)):
+                sl = slice(k * filters, (k + 1) * filters)
+                w1 = _np(sd[f"{p}.Conv3D_{d}.layers.0.weight"])
+                w2 = _np(sd[f"{p}.Conv3D_{d}.layers.1.weight"])
+                w2 = w2 * scale[sl][:, None, None, None, None]
+                branches[f"conv_d{d}"] = {
+                    "conv1": {"kernel": w1.transpose(2, 3, 4, 1, 0)},
+                    "conv2": {
+                        "kernel": w2.transpose(2, 3, 4, 1, 0),
+                        "bias": ((0.0 - mean[sl]) * scale[sl] + beta[sl]
+                                 ).astype(np.float32)},
+                }
+            blocks[f"DDCNN_{j}"] = branches
+        out[f"SDDCNN_{i}"] = blocks
+    out["frame_sim_projection"] = linear(sd, "frame_sim_layer.projection")
+    out["frame_sim_fc"] = linear(sd, "frame_sim_layer.fc")
+    out["color_hist_fc"] = linear(sd, "color_hist_layer.fc")
+    out["fc1"] = linear(sd, "fc1")
+    out["cls_layer1"] = linear(sd, "cls_layer1")
+    out["cls_layer2"] = linear(sd, "cls_layer2")
+    return out
+
+
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_vgg16_features(sd, prefix: str = "features"):
+    """torchvision VGG16 `features` trunk -> nunif_tpu.modules.lpips
+    .VGG16Features (conv0..conv12).  Used for LPIPS numeric parity
+    (reference nunif/modules/lpips.py VGG trunk)."""
+    return {f"conv{i}": conv2d(sd, f"{prefix}.{t}")
+            for i, t in enumerate(_VGG16_CONV_IDX)}
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}

@@ -106,7 +106,8 @@ class TransNetV2(Model):
 
         sim = self._frame_similarity(block_features)
         hist = self._color_histograms(inputs)
-        x = jnp.concatenate([sim, hist, flat], axis=2)
+        # reference :70-74 prepends frame_sim, then color_hist in front of it
+        x = jnp.concatenate([hist, sim, flat], axis=2)
 
         x = nn.Dense(self.D, dtype=x.dtype, name="fc1")(x)
         x = nn.relu(x)

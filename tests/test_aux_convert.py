@@ -52,6 +52,85 @@ def test_superpoint_numeric_parity():
         want_desc.numpy(), atol=3e-5)
 
 
+def test_vgg16_lpips_trunk_numeric_parity():
+    """VGG16 feature trunk tap activations (reference nunif/modules/
+    lpips.py VGG backbone; torchvision vgg16 `features` key layout)."""
+    from nunif_tpu.modules.lpips import VGG16Features
+    torch.manual_seed(13)
+    cfg = [(3, 64), (64, 64), "M", (64, 128), (128, 128), "M",
+           (128, 256), (256, 256), (256, 256), "M",
+           (256, 512), (512, 512), (512, 512), "M",
+           (512, 512), (512, 512), (512, 512)]
+    layers = []
+    for c in cfg:
+        if c == "M":
+            layers.append(torch.nn.MaxPool2d(2, 2))
+        else:
+            layers.append(torch.nn.Conv2d(c[0], c[1], 3, padding=1))
+            layers.append(torch.nn.ReLU())
+    tm = torch.nn.Sequential(*layers).eval()
+    sd = {f"features.{i}.{k}": v for i, m in enumerate(tm)
+          for k, v in m.state_dict().items()}
+    params = tc.convert_vgg16_features(sd)
+
+    model = VGG16Features()
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(1, 3, 32, 32)).astype(np.float32)
+    taps = model.apply({"params": params},
+                       jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # torch taps: after relu1_2 (idx 3), relu2_2 (8), relu3_3 (15),
+    # relu4_3 (22), relu5_3 (29)... with this Sequential the tap indices
+    # are after each stage's last ReLU
+    tap_after = [4, 9, 16, 23, 30]
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        want = []
+        for i, m in enumerate(tm):
+            h = m(h)
+            if i + 1 in tap_after:
+                want.append(h.numpy())
+    assert len(want) == 5
+    for g, w in zip(taps, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2), w,
+                                   atol=5e-5)
+
+
+def test_transnetv2_numeric_parity():
+    """Both logit heads over a 27x48 clip, incl. the per-DDCNN BatchNorm3d
+    fold into the dilation-branch convs (reference
+    nunif/utils/transnetv2.py:7-310)."""
+    from torchref.transnetv2 import TransNetV2 as TorchTransNetV2
+    from nunif_tpu.utils.transnetv2 import TransNetV2
+    torch.manual_seed(12)
+    rng = np.random.default_rng(12)
+    tm = TorchTransNetV2().eval()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.normal(0, 0.5, m.running_mean.shape).astype(
+                        np.float32)))
+                m.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 2.0, m.running_var.shape).astype(
+                        np.float32)))
+    params = tc.convert_transnetv2(tm.state_dict())
+
+    model = TransNetV2()
+    ref = model.init_params(jax.random.PRNGKey(0), (1, 8, 27, 48, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    x = rng.integers(0, 256, size=(1, 8, 27, 48, 3)).astype(np.float32)
+    with torch.no_grad():
+        want1, want2 = tm(torch.from_numpy(x))
+    got1, got2 = model.apply_fn(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got1), want1.numpy(), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got2), want2.numpy(), atol=5e-5)
+
+
 @pytest.mark.parametrize("in_ch", [3, 6])
 def test_u2netp_numeric_parity(in_ch):
     """All 7 sigmoid outputs with BN-folded convs (reference
