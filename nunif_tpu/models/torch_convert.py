@@ -520,6 +520,33 @@ def convert_vgg16_features(sd, prefix: str = "features"):
             for i, t in enumerate(_VGG16_CONV_IDX)}
 
 
+def _cliqa_res(sd, prefix):
+    """ResBlockBNReLU identity-shortcut flavor (reference
+    nunif/modules/res_block.py:11-85): conv.0+conv.1(BN), conv.3+conv.4."""
+    return {"conv1": conv_bn_fused(sd, prefix + ".conv.0", prefix + ".conv.1"),
+            "conv2": conv_bn_fused(sd, prefix + ".conv.3", prefix + ".conv.4")}
+
+
+def _cliqa_head(sd, prefix):
+    return {"conv": conv_bn_fused(sd, prefix + ".0", prefix + ".1"),
+            "out": conv2d(sd, prefix + ".4")}
+
+
+def convert_cliqa(sd, heads):
+    """reference cliqa/models/*.py — shared trunk + named heads.
+    ``heads``: list of head attribute names, e.g. ["quality_output",
+    "subsampling_output"].  Use with flax models built with norm="none"."""
+    out = {"features": {
+        "conv0": conv_bn_fused(sd, "features.0", "features.1"),
+        "conv1": conv_bn_fused(sd, "features.3", "features.4"),
+        "res1": _cliqa_res(sd, "features.7"),
+        "res2": _cliqa_res(sd, "features.9"),
+    }}
+    for h in heads:
+        out[h] = _cliqa_head(sd, h)
+    return out
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}

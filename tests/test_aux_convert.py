@@ -52,6 +52,45 @@ def test_superpoint_numeric_parity():
         want_desc.numpy(), atol=3e-5)
 
 
+@pytest.mark.parametrize("name,heads", [
+    ("cliqa.jpeg_quality", ["quality_output", "subsampling_output"]),
+    ("cliqa.grain_noise_level", ["noise_level_output"]),
+    ("cliqa.scale_factor", ["scale_factor_output"]),
+])
+def test_cliqa_numeric_parity(name, heads):
+    """cliqa predictor trunks+heads with BN folded into convs (reference
+    cliqa/models/*.py); flax models use norm='none' for converted
+    checkpoints."""
+    import torchref.cliqa as trc
+    from nunif_tpu.models import create_model
+    import nunif_tpu.cliqa  # noqa: F401
+    cls = {"cliqa.jpeg_quality": trc.JPEGQuality,
+           "cliqa.grain_noise_level": trc.GrainNoiseLevel,
+           "cliqa.scale_factor": trc.ScaleFactor}[name]
+    torch.manual_seed(14)
+    rng = np.random.default_rng(14)
+    tm = cls().eval()
+    _randomize_bn(tm, rng)
+    params = tc.convert_cliqa(tm.state_dict(), heads)
+
+    model = create_model(name, norm="none")
+    ref = model.init_params(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    x = rng.uniform(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x))
+    got = model.apply_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    if not isinstance(want, tuple):
+        want, got = (want,), (got,)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=5e-5)
+
+
 def test_vgg16_lpips_trunk_numeric_parity():
     """VGG16 feature trunk tap activations (reference nunif/modules/
     lpips.py VGG backbone; torchvision vgg16 `features` key layout)."""
