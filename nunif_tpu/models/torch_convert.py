@@ -547,6 +547,46 @@ def convert_cliqa(sd, heads):
     return out
 
 
+def _outpaint_mha_block(sd, prefix):
+    """stlizer MHABlock (reference light_outpaint_v1.py:35-52)."""
+    return {
+        "mha": {"qkv_proj": linear(sd, prefix + ".mha.mha.qkv_proj"),
+                "head_proj": linear(sd, prefix + ".mha.mha.head_proj")},
+        "bias": {"to_bias_0": linear(sd, prefix + ".bias.to_bias.0"),
+                 "to_bias_2": linear(sd, prefix + ".bias.to_bias.2")},
+        "mlp_0": conv2d(sd, prefix + ".mlp.0"),
+        "mlp_2": conv2d(sd, prefix + ".mlp.2"),
+    }
+
+
+def _outpaint_pool_block(sd, prefix):
+    """stlizer PoolBlock (reference light_outpaint_v1.py:12-32)."""
+    return {"mlp_0": conv2d(sd, prefix + ".mlp.0"),
+            "mlp_3": conv2d(sd, prefix + ".mlp.3"),
+            "mlp_5": conv2d(sd, prefix + ".mlp.5")}
+
+
+def convert_light_outpaint_v1(sd):
+    """reference stlizer/models/light_outpaint_v1.py:89-174."""
+    net = {
+        "dct_0": conv2d(sd, "net.dct.blocks.1"),
+        "dct_1": conv2d(sd, "net.dct.blocks.4"),
+        "dct_2": conv2d(sd, "net.dct.blocks.7"),
+        "enc_mha": _outpaint_mha_block(sd, "net.enc_block.0"),
+        "enc_pool": _outpaint_pool_block(sd, "net.enc_block.1"),
+        "proj_mid": conv2d(sd, "net.proj_mid"),
+        "mid_mha1": _outpaint_mha_block(sd, "net.mid_block.0"),
+        "mid_pool1": _outpaint_pool_block(sd, "net.mid_block.1"),
+        "mid_mha2": _outpaint_mha_block(sd, "net.mid_block.2"),
+        "mid_pool2": _outpaint_pool_block(sd, "net.mid_block.3"),
+        "proj_out": conv2d(sd, "net.proj_out"),
+        "dec_mha": _outpaint_mha_block(sd, "net.dec_block.0"),
+        "dec_pool": _outpaint_pool_block(sd, "net.dec_block.1"),
+        "to_image": conv2d(sd, "net.to_image_biliner.proj"),
+    }
+    return {"net": net}
+
+
 def _unet_conv(sd, prefix, se):
     out = {"conv_0": conv2d(sd, prefix + ".conv.0"),
            "conv_2": conv2d(sd, prefix + ".conv.2")}

@@ -91,6 +91,41 @@ def test_cliqa_numeric_parity(name, heads):
         np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=5e-5)
 
 
+def test_light_outpaint_v1_numeric_parity():
+    """stlizer outpaint net (reference stlizer/models/light_outpaint_v1.py
+    :89-174)."""
+    from torchref.outpaint import LightOutpaintV1 as TorchOutpaint
+    from nunif_tpu.models import create_model
+    import nunif_tpu.stlizer.light_outpaint_v1  # noqa: F401
+    torch.manual_seed(15)
+    tm = TorchOutpaint().eval()
+    params = tc.convert_light_outpaint_v1(tm.state_dict())
+    model = create_model("stlizer.light_outpaint_v1")
+
+    rng = np.random.default_rng(15)
+    H, W = 128, 192  # multiple of 64: no pad branch, matches reference
+    x = rng.uniform(size=(1, 3, H, W)).astype(np.float32)
+    mask = np.zeros((1, 1, H, W), np.float32)
+    mask[:, :, :, :16] = 1.0
+    mask[:, :, :, -16:] = 1.0
+    x = x * (1 - mask)
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    mj = jnp.asarray(mask.transpose(0, 2, 3, 1))
+    ref = model.init(jax.random.PRNGKey(0), xj, mask=mj,
+                     train=False)["params"]
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x), torch.from_numpy(mask)).numpy()
+    got = np.asarray(model.apply_fn(params, xj, mask=mj))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=3e-5)
+
+
 def test_vgg16_lpips_trunk_numeric_parity():
     """VGG16 feature trunk tap activations (reference nunif/modules/
     lpips.py VGG backbone; torchvision vgg16 `features` key layout)."""
