@@ -105,7 +105,17 @@ def _ensure_registered(name: str):
 
 
 def load_model(model_path: str, device=None) -> Tuple[Model, dict, dict]:
-    """Load (model, params, meta) reconstructing the architecture by name."""
+    """Load (model, params, meta) reconstructing the architecture by name.
+
+    Reference ``.pth`` checkpoints are accepted directly: they are
+    converted via torch_convert and cached as ``<path>.nztm``
+    (models/pth_import.py)."""
+    if model_path.endswith(".pth"):
+        from .pth_import import load_torch_model
+        model, params, meta = load_torch_model(model_path)
+        if device is not None:
+            params = jax.device_put(params, device)
+        return model, params, meta
     with zipfile.ZipFile(model_path, "r") as zf:
         meta = json.loads(zf.read(META_ENTRY))
         if meta.get(FORMAT_KEY) != FORMAT_VERSION:
