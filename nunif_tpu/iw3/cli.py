@@ -84,6 +84,20 @@ def create_parser():
                    help="EMA min-max depth normalization for video")
     p.add_argument("--ema-decay", type=float, default=0.75)
     p.add_argument("--ema-buffer", type=int, default=30)
+    p.add_argument("--scene-detect", action="store_true",
+                   help="detect scene cuts and flush temporal depth state "
+                        "at each cut (reference iw3 --scene-detect)")
+    p.add_argument("--scene-detect-threshold", type=float, default=0.3)
+    p.add_argument("--scene-min-frames", type=int, default=10)
+    p.add_argument("--scene-detect-checkpoint", default=None,
+                   help="TransNetV2 checkpoint (.nztm/.pth); histogram "
+                        "fallback detector when omitted")
+    p.add_argument("--autocrop", action="store_true",
+                   help="detect and crop letterbox black bars before "
+                        "conversion (reference iw3 --autocrop)")
+    p.add_argument("--autocrop-mode", default="black",
+                   choices=["black", "black_tb", "black_lr",
+                            "flat", "flat_tb", "flat_lr"])
     p.add_argument("--export", action="store_true",
                    help="export RGB + 16-bit depth + iw3_export.yml instead "
                         "of rendering (input a .yml to re-import)")
@@ -274,7 +288,12 @@ def main(argv=None):
             side_params, tta=args.tta, edge_dilation=edge_dilation,
             batch_size=args.video_batch, video_config=vc,
             ema_normalize=args.ema_normalize, ema_decay=args.ema_decay,
-            ema_buffer=args.ema_buffer)
+            ema_buffer=args.ema_buffer,
+            scene_detect=args.scene_detect,
+            scene_detect_threshold=args.scene_detect_threshold,
+            scene_min_frames=args.scene_min_frames,
+            scene_detect_checkpoint=args.scene_detect_checkpoint,
+            autocrop=args.autocrop, autocrop_mode=args.autocrop_mode)
         print("processed video", file=sys.stderr)
         return 0
 

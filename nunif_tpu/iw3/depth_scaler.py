@@ -115,7 +115,7 @@ class EMAMinMaxScaler:
                 axis=-1))
         return cls._stats_jit(frames)
 
-    def update_values(self, mm):
+    def update_values(self, mm, reset_flags=None):
         """Advance the EMA state machine on host scalars only.
 
         mm: (B,2) numpy [min,max] rows.  Requires buffer_size == 1 (no
@@ -123,6 +123,10 @@ class EMAMinMaxScaler:
         numpy normalization constants.  This keeps the big depth tensors on
         device: callers normalize with the returned constants in their own
         jitted program.
+
+        reset_flags[i] (scene cuts): the EMA state is cleared AFTER frame i
+        so the next frame starts a fresh scene — same contract as
+        update_batch (reference iw3/base_depth_model.py:182-196).
         """
         assert self.buffer_size == 1, "fast path needs buffer_size == 1"
         out = np.empty_like(mm, dtype=np.float64)
@@ -136,6 +140,9 @@ class EMAMinMaxScaler:
                 self.max_value = self.decay * self.max_value + (1 - self.decay) * mx
             out[i, 0] = self.min_value
             out[i, 1] = self.max_value
+            if reset_flags is not None and reset_flags[i]:
+                self.min_value = None
+                self.max_value = None
         return out
 
     def update_batch(self, frames, reset_flags=None, return_minmax=False):

@@ -20,18 +20,40 @@ class Iw3FrameProcessor:
     """Stateful batch callback for nunif_tpu.video.process_video."""
 
     def __init__(self, cfg: StereoConfig, depth_model, side_model=None,
-                 side_params=None, tta=False, edge_dilation=0):
+                 side_params=None, tta=False, edge_dilation=0,
+                 scene_boundaries=None, crop=None):
         self.cfg = cfg
         self.depth_model = depth_model
         self.side_model = side_model
         self.side_params = side_params
         self.tta = tta
         self.edge_dilation = edge_dilation
+        # scene_boundaries: frame indexes where a new shot begins — the EMA
+        # scaler state is flushed at each cut (reference iw3/utils.py
+        # :1015-1040 + base_depth_model.py:182-196)
+        self.scene_boundaries = (set(int(b) for b in scene_boundaries)
+                                 if scene_boundaries else None)
+        # crop: (slice_tb, slice_lr) from AutoCrop analysis (reference
+        # iw3/utils.py:1042-1059)
+        self.crop = crop
+        self._frame_idx = 0
         self._rgb_queue = []
         self._compose_jit = None
         self._compose_norm_jit = None
         self._prep_jit = None
         self._infer_jit = None
+
+    def _batch_reset_flags(self, batch_len: int):
+        """reset_flags[i]=True flushes EMA state AFTER frame i, i.e. when
+        frame i+1 starts a new scene."""
+        if self.scene_boundaries is None:
+            self._frame_idx += batch_len
+            return None
+        start = self._frame_idx
+        self._frame_idx += batch_len
+        flags = [(start + i + 1) in self.scene_boundaries
+                 for i in range(batch_len)]
+        return flags if any(flags) else [False] * batch_len
 
     def _compose_impl(self, depth, im):
         # plain grid-sample warps need depth at frame resolution (the NN /
@@ -55,6 +77,9 @@ class Iw3FrameProcessor:
         return self._compose_jit(jnp.stack(depths), jnp.stack(rgbs))
 
     def __call__(self, batch_u8: np.ndarray):
+        if self.crop is not None:
+            batch_u8 = batch_u8[:, self.crop[0], self.crop[1]]
+        reset_flags = self._batch_reset_flags(len(batch_u8))
         # ship uint8 across host->HBM (1 byte/px); convert + preprocess in
         # one jitted program on device
         if self._prep_jit is None:
@@ -84,7 +109,8 @@ class Iw3FrameProcessor:
                 self._infer_jit = jax.jit(fn)
             x, depth, stats = self._infer_jit(jnp.asarray(batch_u8))
             scaler = self.depth_model.scaler
-            consts = scaler.update_values(np.asarray(stats))
+            consts = scaler.update_values(np.asarray(stats),
+                                          reset_flags=reset_flags)
             return self._compose_normalized(
                 depth, x,
                 jnp.asarray(consts[:, 0], jnp.float32),
@@ -98,7 +124,8 @@ class Iw3FrameProcessor:
         else:
             depth = self.depth_model.infer(x, tta=self.tta,
                                            edge_dilation=self.edge_dilation)
-            normalized = self.depth_model.minmax_normalize(depth)
+            normalized = self.depth_model.minmax_normalize(
+                depth, reset_ema=reset_flags)
         if not normalized:
             return None
         rgbs = self._rgb_queue[:len(normalized)]
@@ -135,15 +162,40 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                        depth_model, side_model=None, side_params=None,
                        tta=False, edge_dilation=0, batch_size=4,
                        video_config: VideoOutputConfig | None = None,
-                       ema_normalize=False, ema_decay=0.75, ema_buffer=30):
-    """reference iw3/utils.py:974-1170 (video path, software encoders)."""
+                       ema_normalize=False, ema_decay=0.75, ema_buffer=30,
+                       scene_detect=False, scene_detect_threshold=0.3,
+                       scene_min_frames=10, scene_detect_checkpoint=None,
+                       autocrop=False, autocrop_mode="black"):
+    """reference iw3/utils.py:974-1170 (video path, software encoders).
+
+    scene_detect: TransNetV2/histogram pre-pass with on-disk cache; the EMA
+    scaler (and any temporal depth state) is flushed at every cut
+    (reference iw3/utils.py:1015-1040).
+    autocrop: letterbox analysis pre-pass; frames are cropped before
+    conversion (reference iw3/utils.py:1042-1059).
+    """
     if ema_normalize:
         depth_model.enable_ema(decay=ema_decay, buffer_size=ema_buffer)
     else:
         depth_model.disable_ema()
+    video_config = video_config or VideoOutputConfig()
+    scene_boundaries = None
+    if scene_detect:
+        from .scene_boundary_cache import detect_boundaries_cached
+        scene_boundaries = detect_boundaries_cached(
+            input_path, max_fps=video_config.max_fps,
+            threshold=scene_detect_threshold, min_frames=scene_min_frames,
+            checkpoint=scene_detect_checkpoint)
+    crop = None
+    if autocrop:
+        from ..utils.autocrop import autocrop_analyze_video
+        slice_tb, slice_lr = autocrop_analyze_video(input_path,
+                                                    mode=autocrop_mode)
+        if slice_tb != slice(None) or slice_lr != slice(None):
+            crop = (slice_tb, slice_lr)
     proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params,
-                             tta=tta, edge_dilation=edge_dilation)
+                             tta=tta, edge_dilation=edge_dilation,
+                             scene_boundaries=scene_boundaries, crop=crop)
     _process_video(input_path, output_path, proc, batch_size=batch_size,
-                   config=video_config or VideoOutputConfig(),
-                   flush_callback=proc.flush)
+                   config=video_config, flush_callback=proc.flush)
     depth_model.reset()
