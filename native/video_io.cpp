@@ -266,6 +266,21 @@ VIO_API int vio_reader_next(VioReader *r, uint8_t *buf, double *pts_sec) {
     }
 }
 
+// seek to ~seconds (keyframe-backward); caller discards frames with
+// pts < target.  returns 0 on success, <0 on error
+VIO_API int vio_reader_seek(VioReader *r, double seconds) {
+    int64_t ts = (int64_t)(seconds * AV_TIME_BASE);
+    int ret = av_seek_frame(r->fmt, -1, ts, AVSEEK_FLAG_BACKWARD);
+    if (ret < 0) return ret;
+    avcodec_flush_buffers(r->dec);
+    r->eof_sent = false;
+    if (r->pkt_pending) {
+        av_packet_unref(r->pkt);
+        r->pkt_pending = false;
+    }
+    return 0;
+}
+
 VIO_API void vio_reader_close(VioReader *r) {
     if (!r) return;
     if (r->sws) sws_freeContext(r->sws);

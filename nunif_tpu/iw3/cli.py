@@ -98,6 +98,14 @@ def create_parser():
     p.add_argument("--autocrop-mode", default="black",
                    choices=["black", "black_tb", "black_lr",
                             "flat", "flat_tb", "flat_lr"])
+    p.add_argument("--skip-error", action="store_true",
+                   help="on video errors write <out>.error.flag and "
+                        "continue the batch; skip inputs whose flag exists "
+                        "(reference --skip-error, video.py:1135-1142)")
+    p.add_argument("--start-time", type=float, default=None,
+                   help="video trim start (seconds)")
+    p.add_argument("--end-time", type=float, default=None,
+                   help="video trim end (seconds)")
     p.add_argument("--export", action="store_true",
                    help="export RGB + 16-bit depth + iw3_export.yml instead "
                         "of rendering (input a .yml to re-import)")
@@ -166,15 +174,16 @@ def create_stereo_model(method, checkpoint=None):
 
 
 def iter_inputs(input_path, recursive=False):
+    exts = IMAGE_EXTS | VIDEO_EXTS
     if os.path.isdir(input_path):
         if recursive:
             for root, _, files in os.walk(input_path):
                 for f in sorted(files):
-                    if os.path.splitext(f)[1].lower() in IMAGE_EXTS:
+                    if os.path.splitext(f)[1].lower() in exts:
                         yield os.path.join(root, f)
         else:
             for f in sorted(os.listdir(input_path)):
-                if os.path.splitext(f)[1].lower() in IMAGE_EXTS:
+                if os.path.splitext(f)[1].lower() in exts:
                     yield os.path.join(input_path, f)
     else:
         yield input_path
@@ -277,23 +286,45 @@ def main(argv=None):
     if edge_dilation is None:
         edge_dilation = 2  # reference default for relative-depth models
 
-    if os.path.splitext(args.input)[1].lower() in VIDEO_EXTS:
-        from ..video import VideoOutputConfig
+    def run_video(src, dst):
+        """One video with resume/skip-error semantics (reference
+        nunif/utils/video.py:899,1135-1142)."""
+        from ..video import (VideoOutputConfig, has_error_flag,
+                             write_error_flag, clear_error_flag)
         from .video import process_video_full
+        if args.resume and os.path.exists(dst):
+            logger.info("skip (exists): %s", dst)
+            return True
+        if args.skip_error and has_error_flag(dst):
+            logger.info("skip (error flag): %s", dst)
+            return False
         vc = VideoOutputConfig(codec=args.video_codec, crf=args.crf,
                                preset=args.preset, pix_fmt=args.pix_fmt,
                                max_fps=args.max_fps)
-        process_video_full(
-            args.input, args.output, cfg, depth_model, side_model,
-            side_params, tta=args.tta, edge_dilation=edge_dilation,
-            batch_size=args.video_batch, video_config=vc,
-            ema_normalize=args.ema_normalize, ema_decay=args.ema_decay,
-            ema_buffer=args.ema_buffer,
-            scene_detect=args.scene_detect,
-            scene_detect_threshold=args.scene_detect_threshold,
-            scene_min_frames=args.scene_min_frames,
-            scene_detect_checkpoint=args.scene_detect_checkpoint,
-            autocrop=args.autocrop, autocrop_mode=args.autocrop_mode)
+        try:
+            process_video_full(
+                src, dst, cfg, depth_model, side_model,
+                side_params, tta=args.tta, edge_dilation=edge_dilation,
+                batch_size=args.video_batch, video_config=vc,
+                ema_normalize=args.ema_normalize, ema_decay=args.ema_decay,
+                ema_buffer=args.ema_buffer,
+                scene_detect=args.scene_detect,
+                scene_detect_threshold=args.scene_detect_threshold,
+                scene_min_frames=args.scene_min_frames,
+                scene_detect_checkpoint=args.scene_detect_checkpoint,
+                autocrop=args.autocrop, autocrop_mode=args.autocrop_mode,
+                start_time=args.start_time, end_time=args.end_time)
+        except Exception as e:
+            if not args.skip_error:
+                raise
+            logger.error("error processing %s: %s", src, e)
+            write_error_flag(dst, e)
+            return False
+        clear_error_flag(dst)
+        return True
+
+    if os.path.splitext(args.input)[1].lower() in VIDEO_EXTS:
+        run_video(args.input, args.output)
         print("processed video", file=sys.stderr)
         return 0
 
@@ -303,6 +334,15 @@ def main(argv=None):
 
     n_done = 0
     for src in iter_inputs(args.input, args.recursive):
+        if os.path.splitext(src)[1].lower() in VIDEO_EXTS:
+            # dir batch with videos: per-file error flags + resume
+            base = os.path.splitext(os.path.basename(src))[0]
+            vdst = (os.path.join(args.output, base + ".mp4")
+                    if is_dir_out or os.path.isdir(args.output)
+                    else args.output)
+            if run_video(src, vdst):
+                n_done += 1
+            continue
         if is_dir_out:
             base = os.path.splitext(os.path.basename(src))[0]
             dst = os.path.join(args.output, base + "." + args.format)

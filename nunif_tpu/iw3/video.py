@@ -165,7 +165,9 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                        ema_normalize=False, ema_decay=0.75, ema_buffer=30,
                        scene_detect=False, scene_detect_threshold=0.3,
                        scene_min_frames=10, scene_detect_checkpoint=None,
-                       autocrop=False, autocrop_mode="black"):
+                       autocrop=False, autocrop_mode="black",
+                       start_time=None, end_time=None,
+                       stop_event=None, suspend_event=None):
     """reference iw3/utils.py:974-1170 (video path, software encoders).
 
     scene_detect: TransNetV2/histogram pre-pass with on-disk cache; the EMA
@@ -197,5 +199,7 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                              tta=tta, edge_dilation=edge_dilation,
                              scene_boundaries=scene_boundaries, crop=crop)
     _process_video(input_path, output_path, proc, batch_size=batch_size,
-                   config=video_config, flush_callback=proc.flush)
+                   config=video_config, flush_callback=proc.flush,
+                   start_time=start_time, end_time=end_time,
+                   stop_event=stop_event, suspend_event=suspend_event)
     depth_model.reset()

@@ -60,6 +60,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int)]
+        lib.vio_reader_seek.argtypes = [ctypes.c_void_p, ctypes.c_double]
         lib.vio_reader_close.argtypes = [ctypes.c_void_p]
         lib.vio_writer_open.restype = ctypes.c_void_p
         lib.vio_writer_open.argtypes = [
@@ -91,7 +92,8 @@ def encoder_available(name: str) -> bool:
 class VideoReader:
     """Iterate (frame HWC uint8/uint16, pts_seconds)."""
 
-    def __init__(self, path: str, rgb48: bool = False):
+    def __init__(self, path: str, rgb48: bool = False,
+                 apply_rotation: bool = True):
         lib = _load()
         err = ctypes.create_string_buffer(512)
         self._h = lib.vio_reader_open(path.encode(), int(rgb48), err, 512)
@@ -129,6 +131,14 @@ class VideoReader:
         self.master_max_luminance = mmax.value   # nits, 0 = absent
         self.master_min_luminance = mmin.value
         self.max_cll = cll.value
+        # display-matrix rotation (degrees CCW); apply on decode like
+        # ffmpeg autorotate so callers see upright frames
+        self._src_w, self._src_h = self.width, self.height
+        self._rot_k = 0
+        if apply_rotation and self.rotation:
+            self._rot_k = (round(self.rotation / 90)) % 4
+            if self._rot_k in (1, 3):
+                self.width, self.height = self.height, self.width
 
     @property
     def is_hdr(self) -> bool:
@@ -140,7 +150,7 @@ class VideoReader:
         return self
 
     def __next__(self):
-        buf = np.empty((self.height, self.width, 3), self._dtype)
+        buf = np.empty((self._src_h, self._src_w, 3), self._dtype)
         pts = ctypes.c_double()
         ret = self._lib.vio_reader_next(
             self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), pts)
@@ -148,7 +158,17 @@ class VideoReader:
             raise StopIteration
         if ret < 0:
             raise IOError(f"decode error {ret}")
+        if self._rot_k:
+            buf = np.ascontiguousarray(np.rot90(buf, k=self._rot_k))
         return buf, pts.value
+
+    def seek(self, seconds: float):
+        """Keyframe-backward seek; iteration resumes from the nearest
+        keyframe at or before ``seconds`` (callers drop frames with
+        pts < seconds for exactness)."""
+        ret = self._lib.vio_reader_seek(self._h, float(seconds))
+        if ret < 0:
+            raise IOError(f"seek error {ret}")
 
     def close(self):
         if self._h:

@@ -98,13 +98,40 @@ def guess_fps(reader, max_fps: float) -> Fraction:
 _SENTINEL = object()
 
 
+def error_flag_path(output_path: str) -> str:
+    """<out>.error.flag sidecar (reference nunif/utils/video.py:899)."""
+    return output_path + ".error.flag"
+
+
+def write_error_flag(output_path: str, error: Exception):
+    try:
+        with open(error_flag_path(output_path), "w", encoding="utf-8") as f:
+            f.write(f"{type(error).__name__}: {error}\n")
+    except OSError:
+        pass
+
+
+def has_error_flag(output_path: str) -> bool:
+    return os.path.exists(error_flag_path(output_path))
+
+
+def clear_error_flag(output_path: str):
+    try:
+        os.unlink(error_flag_path(output_path))
+    except OSError:
+        pass
+
+
 def process_video(input_path: str, output_path: str,
                   batch_callback: Callable,
                   batch_size: int = 4,
                   config: Optional[VideoOutputConfig] = None,
                   stop_event: Optional[threading.Event] = None,
+                  suspend_event: Optional[threading.Event] = None,
                   progress_callback: Optional[Callable] = None,
-                  flush_callback: Optional[Callable] = None):
+                  flush_callback: Optional[Callable] = None,
+                  start_time: Optional[float] = None,
+                  end_time: Optional[float] = None):
     """Run ``batch_callback(np.ndarray BHWC uint8) -> array-like BHWC uint8``
     over all (retimed) frames of input_path, encoding into output_path.
 
@@ -114,6 +141,11 @@ def process_video(input_path: str, output_path: str,
     (or fewer frames than submitted); ``flush_callback()`` is called once at
     end-of-stream to drain it.  Atomic output: writes to <output>.tmp then
     renames (reference video.py:895-913).
+
+    suspend_event: cooperative pause — processing blocks while the event is
+    CLEARED and resumes when set (reference video.py:1101-1104).
+    start_time/end_time (seconds): keyframe seek + exact pts trim
+    (reference --start-time/--end-time).
     """
     config = config or VideoOutputConfig()
     reader = backend.VideoReader(input_path, rgb48=config.rgb48)
@@ -195,13 +227,23 @@ def process_video(input_path: str, output_path: str,
                 put_result(batch_callback(np.stack(batch)))
                 batch = []
 
+    if start_time:
+        reader.seek(start_time)
     try:
         for frame, pts in reader:
             if stop_event is not None and stop_event.is_set():
                 break
+            if suspend_event is not None:
+                suspend_event.wait()
             if write_error:
                 raise write_error[0]
-            submit(retimer(frame, pts))
+            if start_time and 0 <= pts < start_time:
+                continue  # keyframe-seek overshoot: trim to exact pts
+            if end_time is not None and pts > end_time >= 0:
+                break
+            # retimer ticks are zero-based: rebase pts onto the trim window
+            submit(retimer(frame, pts - start_time if start_time and pts >= 0
+                           else pts))
             n_in += 1
             if progress_callback:
                 progress_callback(n_in, reader.nb_frames)

@@ -276,3 +276,50 @@ class TestSceneDetectWiring:
         slice_tb, slice_lr = autocrop_analyze_video(src)
         assert slice_tb.start is not None and 12 <= slice_tb.start <= 20
         assert slice_tb.stop is not None and 44 <= slice_tb.stop <= 52
+
+
+class TestSkipError:
+    def test_skip_error_batch_resume(self, tmp_path, depth_model):
+        """--skip-error: a corrupt video writes <out>.error.flag and the
+        batch continues; a re-run skips flagged inputs
+        (reference nunif/utils/video.py:899,1135-1142)."""
+        from nunif_tpu.iw3 import cli as iw3_cli
+        from nunif_tpu.video import has_error_flag
+        import nunif_tpu.iw3.depth.factory as _  # noqa
+
+        indir = tmp_path / "videos"
+        indir.mkdir()
+        _make_video(str(indir / "a_good.mp4"), n=6)
+        with open(indir / "b_corrupt.mp4", "wb") as f:
+            f.write(b"\x00\x01 not a video \xff" * 64)
+        outdir = tmp_path / "out"
+        outdir.mkdir()
+
+        # monkeypatch the depth factory so the CLI uses the tiny fixture
+        import nunif_tpu.iw3.cli as climod
+        orig = climod.create_depth_model_cli \
+            if hasattr(climod, "create_depth_model_cli") else None
+        from nunif_tpu.iw3 import depth as depth_pkg
+        orig_create = depth_pkg.create_depth_model
+        depth_pkg.create_depth_model = lambda *a, **kw: depth_model
+        try:
+            rc = iw3_cli.main([
+                "-i", str(indir), "-o", str(outdir),
+                "--method", "grid_sample", "--half-sbs", "--skip-error",
+                "--video-batch", "2", "--max-fps", "8"])
+        finally:
+            depth_pkg.create_depth_model = orig_create
+            del orig
+        assert rc == 0
+        assert os.path.exists(outdir / "a_good.mp4")
+        assert has_error_flag(str(outdir / "b_corrupt.mp4"))
+        # re-run: good output resumes via --resume, corrupt skipped by flag
+        depth_pkg.create_depth_model = lambda *a, **kw: depth_model
+        try:
+            rc = iw3_cli.main([
+                "-i", str(indir), "-o", str(outdir),
+                "--method", "grid_sample", "--half-sbs", "--skip-error",
+                "--resume", "--video-batch", "2", "--max-fps", "8"])
+        finally:
+            depth_pkg.create_depth_model = orig_create
+        assert rc == 0
