@@ -25,7 +25,7 @@ class HardExampleSampler:
         self.scale_factor = scale_factor
         self.losses = np.zeros((self.n, history_size), np.float64)
         self.counts = np.zeros((self.n,), np.int64)
-        self.weights = np.ones((self.n,), np.float64)
+        self.weights = np.full((self.n,), 1.0 / self.n, np.float64)
         self.rng = np.random.default_rng(seed)
         if losses is not None:
             for i, v in enumerate(losses):

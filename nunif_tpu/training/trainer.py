@@ -161,17 +161,31 @@ class Trainer:
     # ----------------------------------------------------------------- loop
     def fit(self, train_loader_fn: Callable[[], Iterable],
             eval_loader_fn: Optional[Callable[[], Iterable]] = None,
-            on_epoch_end: Optional[Callable] = None):
+            on_epoch_end: Optional[Callable] = None,
+            hard_sampler=None):
+        """hard_sampler: HardExampleSampler receiving per-batch loss
+        feedback at epoch end (reference waifu2x/training/trainer.py:274,
+        548 — batch losses written to each index, weights recomputed per
+        epoch)."""
         cfg = self.cfg
         for epoch in range(self.last_epoch, cfg.max_epoch):
             t0 = time.time()
             losses = []
+            batch_indexes = []
             for batch in train_loader_fn():
+                if isinstance(batch, dict) and "index" in batch:
+                    batch = dict(batch)
+                    batch_indexes.append(batch.pop("index"))
                 self.state, metrics = self.train_step(
                     self.state, batch, self.rng.next())
                 losses.append(metrics["loss"])
             # one sync per epoch
             losses = [float(v) for v in jax.device_get(losses)]
+            if hard_sampler is not None and batch_indexes:
+                for idx, loss in zip(batch_indexes, losses):
+                    hard_sampler.update_losses(
+                        idx, np.full(len(idx), loss))
+                hard_sampler.update_weights()
             nan_count = int(self.state.nan_count)
             if nan_count > cfg.nan_limit:
                 raise RuntimeError(f"too many NaN losses: {nan_count}")

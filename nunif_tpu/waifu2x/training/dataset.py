@@ -129,10 +129,20 @@ class Waifu2xDataset:
         return x, y
 
     # ------------------------------------------------------------- loading
-    def batches(self, batch_size: int, n_threads: int = 4, drop_last=True):
-        """Thread-prefetched epoch iterator of {"x","y"} numpy batches."""
+    def batches(self, batch_size: int, n_threads: int = 4, drop_last=True,
+                sampler=None):
+        """Thread-prefetched epoch iterator of {"x","y"} numpy batches.
+
+        With a HardExampleSampler, the epoch's sample indexes are drawn
+        weighted-with-replacement and each batch carries an "index" array
+        for per-sample loss feedback (reference
+        waifu2x/training/trainer.py:697 + nunif/training/sampler.py)."""
         n = (self.num_samples // batch_size) * batch_size
-        indexes = list(range(n))
+        if sampler is not None:
+            indexes = [int(i) % self.num_samples
+                       for i in sampler.epoch_indexes()[:n]]
+        else:
+            indexes = list(range(n))
         q: queue_mod.Queue = queue_mod.Queue(maxsize=n_threads * 2)
         lock = threading.Lock()
         it = iter(range(0, n, batch_size))
@@ -149,7 +159,11 @@ class Waifu2xDataset:
                     x, y = self.sample_pair(indexes[i])
                     xs.append(x)
                     ys.append(y)
-                q.put({"x": np.stack(xs), "y": np.stack(ys)})
+                batch = {"x": np.stack(xs), "y": np.stack(ys)}
+                if sampler is not None:
+                    batch["index"] = np.asarray(
+                        indexes[start:start + batch_size], np.int64)
+                q.put(batch)
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(n_threads)]

@@ -131,11 +131,26 @@ class Waifu2xTrainerApp:
 
     def fit(self):
         args = self.args
+        # hard example mining (reference waifu2x/training/trainer.py:697):
+        # weighted-with-replacement sampling driven by per-sample loss SMA
+        sampler = None
+        if getattr(args, "hard_example", "linear") != "none":
+            from ...training.sampler import HardExampleSampler, MiningMethod
+            method = {"linear": MiningMethod.LINEAR,
+                      "top10": MiningMethod.TOP10,
+                      "top20": MiningMethod.TOP20}[args.hard_example]
+            sampler = HardExampleSampler(
+                self.train_ds.num_samples, method=method,
+                scale_factor=getattr(args, "hard_example_scale", 4.0),
+                seed=args.seed)
+        self.sampler = sampler
         self.trainer.fit(
             lambda: self.train_ds.batches(args.batch_size,
-                                          n_threads=args.num_workers),
+                                          n_threads=args.num_workers,
+                                          sampler=sampler),
             lambda: self.eval_ds.batches(args.batch_size,
-                                         n_threads=args.num_workers))
+                                         n_threads=args.num_workers),
+            hard_sampler=sampler)
         return self.trainer
 
 
@@ -188,6 +203,10 @@ def register_train(subparsers, default_parser):
     p.add_argument("--da-grayscale-p", type=float, default=0.0)
     p.add_argument("--bicubic-only", action="store_true")
     p.add_argument("--deblur", type=float, default=0)
+    p.add_argument("--hard-example", default="linear",
+                   choices=["none", "linear", "top10", "top20"],
+                   help="hard example mining (reference --hard-example)")
+    p.add_argument("--hard-example-scale", type=float, default=4.0)
     p.set_defaults(handler=train_main)
     return p
 
