@@ -21,7 +21,7 @@ class Iw3FrameProcessor:
 
     def __init__(self, cfg: StereoConfig, depth_model, side_model=None,
                  side_params=None, tta=False, edge_dilation=0,
-                 scene_boundaries=None, crop=None):
+                 scene_boundaries=None, crop=None, mesh=None):
         self.cfg = cfg
         self.depth_model = depth_model
         self.side_model = side_model
@@ -36,6 +36,10 @@ class Iw3FrameProcessor:
         # crop: (slice_tb, slice_lr) from AutoCrop analysis (reference
         # iw3/utils.py:1042-1059)
         self.crop = crop
+        # dp mesh: the frame batch shards over devices (TPU equivalent of
+        # the reference's multi-GPU DeviceSwitchInference round-robin,
+        # nunif/utils/video.py:1645,1695)
+        self.mesh = mesh
         self._frame_idx = 0
         self._rgb_queue = []
         self._compose_jit = None
@@ -80,6 +84,9 @@ class Iw3FrameProcessor:
         if self.crop is not None:
             batch_u8 = batch_u8[:, self.crop[0], self.crop[1]]
         reset_flags = self._batch_reset_flags(len(batch_u8))
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch_u8 = shard_batch(self.mesh, jnp.asarray(batch_u8))
         # ship uint8 across host->HBM (1 byte/px); convert + preprocess in
         # one jitted program on device
         if self._prep_jit is None:
@@ -167,7 +174,7 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                        scene_min_frames=10, scene_detect_checkpoint=None,
                        autocrop=False, autocrop_mode="black",
                        start_time=None, end_time=None,
-                       stop_event=None, suspend_event=None):
+                       stop_event=None, suspend_event=None, mesh=None):
     """reference iw3/utils.py:974-1170 (video path, software encoders).
 
     scene_detect: TransNetV2/histogram pre-pass with on-disk cache; the EMA
@@ -197,7 +204,8 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
             crop = (slice_tb, slice_lr)
     proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params,
                              tta=tta, edge_dilation=edge_dilation,
-                             scene_boundaries=scene_boundaries, crop=crop)
+                             scene_boundaries=scene_boundaries, crop=crop,
+                             mesh=mesh)
     _process_video(input_path, output_path, proc, batch_size=batch_size,
                    config=video_config, flush_callback=proc.flush,
                    start_time=start_time, end_time=end_time,

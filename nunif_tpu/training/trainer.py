@@ -81,6 +81,10 @@ class TrainerConfig:
     resume: bool = False
     checkpoint_name: str = "checkpoint"
     save_every_epoch: bool = False
+    # data-parallel device mesh (jax.sharding.Mesh with a "dp" axis) — the
+    # TPU equivalent of the reference's DataParallel training
+    # (reference nunif/models/register.py:44-49); None = single device
+    mesh: object = None
 
 
 class Trainer:
@@ -109,6 +113,16 @@ class Trainer:
             params=params, grad_clip=cfg.grad_clip)
         self.state = TrainState.create(params, self.tx,
                                        use_ema=cfg.ema_decay is not None)
+        self.mesh = cfg.mesh
+        if self.mesh is not None:
+            # replicate params/opt state; batches are dp-sharded in fit()
+            # and GSPMD inserts the gradient psum (SURVEY.md §2.6(1))
+            from ..parallel.mesh import replicated
+            import jax as _jax
+            s = replicated(self.mesh)
+            self.state = _jax.tree_util.tree_map(
+                lambda x: _jax.device_put(x, s) if hasattr(x, "shape") else x,
+                self.state)
         self.train_step = make_train_step(
             loss_fn, self.tx, accum_steps=cfg.accum_steps,
             ema_decay=cfg.ema_decay)
@@ -154,8 +168,11 @@ class Trainer:
     def export_best_model(self, params, suffix=""):
         path = os.path.join(self.cfg.model_dir,
                             f"{self.model.model_name.replace('.', '_')}{suffix}.nztm")
-        save_model(self.model, params, path,
-                   train_kwargs=dataclasses.asdict(self.cfg))
+        # record serializable train args only (the mesh is a live object)
+        train_kwargs = {f.name: getattr(self.cfg, f.name)
+                        for f in dataclasses.fields(self.cfg)
+                        if f.name != "mesh"}
+        save_model(self.model, params, path, train_kwargs=train_kwargs)
         return path
 
     # ----------------------------------------------------------------- loop
@@ -176,6 +193,9 @@ class Trainer:
                 if isinstance(batch, dict) and "index" in batch:
                     batch = dict(batch)
                     batch_indexes.append(batch.pop("index"))
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    batch = shard_batch(self.mesh, batch)
                 self.state, metrics = self.train_step(
                     self.state, batch, self.rng.next())
                 losses.append(metrics["loss"])
