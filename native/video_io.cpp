@@ -320,6 +320,7 @@ VIO_API VioWriter *vio_writer_open(const char *path, int width, int height,
                                    const char *codec_name, const char *pix_fmt,
                                    const char *preset, int crf, int rgb48,
                                    const char *audio_source,
+                                   const char *extra_opts,
                                    char *err, int errlen) {
     auto *w = new VioWriter();
     w->width = width;
@@ -360,6 +361,29 @@ VIO_API VioWriter *vio_writer_open(const char *path, int width, int height,
     }
     if (crf >= 0) {
         av_opt_set_int(w->enc->priv_data, "crf", crf, 0);
+    }
+    // generic "k=v,k=v" encoder options: gop (keyframe interval in
+    // frames), b (bitrate in bps), tune/profile/level/x264-params/...
+    if (extra_opts && extra_opts[0]) {
+        std::string opts(extra_opts);
+        size_t pos = 0;
+        while (pos < opts.size()) {
+            size_t comma = opts.find(',', pos);
+            std::string kv = opts.substr(pos, comma == std::string::npos
+                                         ? std::string::npos : comma - pos);
+            pos = comma == std::string::npos ? opts.size() : comma + 1;
+            size_t eq = kv.find('=');
+            if (eq == std::string::npos) continue;
+            std::string k = kv.substr(0, eq), v = kv.substr(eq + 1);
+            if (k == "gop") {
+                w->enc->gop_size = atoi(v.c_str());
+            } else if (k == "b") {
+                w->enc->bit_rate = atoll(v.c_str());
+            } else if (av_opt_set(w->enc->priv_data, k.c_str(), v.c_str(),
+                                  0) < 0) {
+                av_opt_set(w->enc, k.c_str(), v.c_str(), 0);
+            }
+        }
     }
     if ((ret = avcodec_open2(w->enc, codec, nullptr)) < 0) {
         set_err(err, errlen, "encoder open: " + averr(ret));

@@ -106,6 +106,57 @@ def create_parser():
                    help="video trim start (seconds)")
     p.add_argument("--end-time", type=float, default=None,
                    help="video trim end (seconds)")
+    p.add_argument("--video-format", "-vf", default="mp4",
+                   choices=["mp4", "mkv", "avi"],
+                   help="container for dir-batch video outputs")
+    p.add_argument("--video-bitrate", default=None,
+                   help="target bitrate, e.g. 8M (overrides crf-only mode)")
+    p.add_argument("--tune", nargs="+", default=[],
+                   help="encoder tune option(s), e.g. film animation")
+    p.add_argument("--profile-level", default=None,
+                   help="h264 profile level")
+    p.add_argument("--keyframe-interval", type=float, default=None,
+                   help="keyframe interval in seconds (gop = fps*interval)")
+    p.add_argument("--colorspace", default="auto",
+                   choices=["auto", "bt709", "unspecified"],
+                   help="output colorspace (bt709 tagged for HD outputs)")
+    p.add_argument("--metadata", nargs="?", const="filename", default=None,
+                   choices=["filename"],
+                   help="embed conversion params in the output filename")
+    p.add_argument("--yes", "-y", action="store_true",
+                   help="overwrite existing video outputs without skipping")
+    p.add_argument("--stereo-width", type=int, default=None,
+                   help="processing width for row_flow/mlbw stereo models")
+    p.add_argument("--warp-steps", type=int, default=None,
+                   help="forward-warp step count override")
+    p.add_argument("--mask-inner-dilation", type=int, default=0,
+                   help="inpaint mask inner dilation iterations")
+    p.add_argument("--mask-outer-dilation", type=int, default=0,
+                   help="inpaint mask outer dilation iterations")
+    p.add_argument("--inpaint-max-width", type=int, default=None,
+                   help="downscale frames wider than this before inpaint")
+    p.add_argument("--limit-resolution", action="store_true",
+                   help="cap depth resolution at the source resolution")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="depth batch size (alias of --video-batch; the "
+                        "reference's --zoed-batch-size equivalent)")
+    p.add_argument("--max-workers", type=int, default=None,
+                   help="accepted for reference compatibility; the TPU "
+                        "pipeline overlaps decode/compute/encode with "
+                        "async dispatch instead of a worker pool")
+    p.add_argument("--disable-scene-cache", action="store_true",
+                   help="re-run scene detection even when cached")
+    p.add_argument("--scene-cache-dir", default=None,
+                   help="directory for scene-boundary caches")
+    p.add_argument("--scene-detect-only", action="store_true",
+                   help="run the scene-detection pass and exit")
+    p.add_argument("--debug-depth", action="store_true",
+                   help="output the normalized depth instead of stereo")
+    p.add_argument("--export-disparity", action="store_true",
+                   help="export the mapper-applied disparity instead of "
+                        "raw depth (implies --export)")
+    p.add_argument("--export-depth-only", action="store_true",
+                   help="omit the rgb image from exports")
     p.add_argument("--export", action="store_true",
                    help="export RGB + 16-bit depth + iw3_export.yml instead "
                         "of rendering (input a .yml to re-import)")
@@ -131,7 +182,12 @@ def build_config(args):
         rotate_left=args.rotate_left, rotate_right=args.rotate_right,
         max_output_width=args.max_output_width,
         max_output_height=args.max_output_height,
-        keep_aspect_ratio=args.keep_aspect_ratio, format=fmt)
+        keep_aspect_ratio=args.keep_aspect_ratio, format=fmt,
+        stereo_width=getattr(args, "stereo_width", None),
+        warp_steps=getattr(args, "warp_steps", None),
+        mask_inner_dilation=getattr(args, "mask_inner_dilation", 0),
+        mask_outer_dilation=getattr(args, "mask_outer_dilation", 0),
+        inpaint_max_width=getattr(args, "inpaint_max_width", None))
 
 
 def create_stereo_model(method, checkpoint=None):
@@ -212,14 +268,26 @@ def export_main(args, cfg, depth_model):
         d = depth[0]
         dmin, dmax = float(jnp.min(d)), float(jnp.max(d))
         dn = (d - dmin) / max(dmax - dmin, 1e-6)
+        if getattr(args, "export_disparity", False):
+            # apply the resolved mapper so the export IS the disparity
+            # (reference --export-disparity, iw3/utils.py:2052)
+            from .mapper import get_mapper
+            dn = get_mapper(cfg.resolved_mapper(
+                depth_model.is_metric()))(dn)
+            dmin, dmax = 0.0, 1.0
         base = os.path.splitext(os.path.basename(src))[0]
-        save_image(np.asarray(x[0]), os.path.join(rgb_dir, base + ".png"))
+        if not getattr(args, "export_depth_only", False):
+            save_image(np.asarray(x[0]),
+                       os.path.join(rgb_dir, base + ".png"))
         BaseDepthModel.save_normalized_depth(
             dn, os.path.join(depth_dir, base + ".png"),
             min_depth_value=dmin, max_depth_value=dmax)
         n += 1
+    export_disparity = getattr(args, "export_disparity", False)
     ExportConfig(IMAGE_TYPE, basename=os.path.basename(args.input),
-                 mapper=cfg.resolved_mapper(depth_model.is_metric()),
+                 mapper=("none" if export_disparity else
+                         cfg.resolved_mapper(depth_model.is_metric())),
+                 skip_mapper=export_disparity,
                  divergence=args.divergence, convergence=args.convergence,
                  updated_at=datetime.datetime.now().isoformat()).save(
         os.path.join(args.output, FILENAME))
@@ -274,10 +342,13 @@ def main(argv=None):
     cfg = build_config(args)
     if args.input.lower().endswith((".yml", ".yaml")):
         return import_main(args, cfg)
+    if args.batch_size:
+        args.video_batch = args.batch_size
     depth_model = create_depth_model(args.depth_model)
     depth_model.load(resolution=args.resolution,
-                     checkpoint=args.depth_checkpoint)
-    if args.export:
+                     checkpoint=args.depth_checkpoint,
+                     limit_resolution=args.limit_resolution)
+    if args.export or args.export_disparity:
         return export_main(args, cfg, depth_model)
     side_model, side_params = create_stereo_model(
         args.method, args.stereo_checkpoint)
@@ -292,15 +363,38 @@ def main(argv=None):
         from ..video import (VideoOutputConfig, has_error_flag,
                              write_error_flag, clear_error_flag)
         from .video import process_video_full
+        if args.metadata == "filename":
+            base, ext = os.path.splitext(dst)
+            dst = (f"{base}_{args.method}_d{args.divergence:g}"
+                   f"_c{args.convergence:g}{ext}")
         if args.resume and os.path.exists(dst):
             logger.info("skip (exists): %s", dst)
             return True
+        if os.path.exists(dst) and not args.yes:
+            logger.warning("output exists (use --yes to overwrite or "
+                           "--resume to skip silently): %s", dst)
+            return False
         if args.skip_error and has_error_flag(dst):
             logger.info("skip (error flag): %s", dst)
             return False
+        if args.scene_detect_only:
+            from .scene_boundary_cache import detect_boundaries_cached
+            b = detect_boundaries_cached(
+                src, max_fps=args.max_fps,
+                threshold=args.scene_detect_threshold,
+                min_frames=args.scene_min_frames,
+                checkpoint=args.scene_detect_checkpoint,
+                cache_dir=args.scene_cache_dir)
+            print(f"{src}: {len(b)} scene boundaries: {sorted(b)[:50]}",
+                  file=sys.stderr)
+            return True
         vc = VideoOutputConfig(codec=args.video_codec, crf=args.crf,
                                preset=args.preset, pix_fmt=args.pix_fmt,
-                               max_fps=args.max_fps)
+                               max_fps=args.max_fps,
+                               bitrate=args.video_bitrate,
+                               tune=tuple(args.tune),
+                               profile_level=args.profile_level,
+                               keyframe_interval=args.keyframe_interval)
         try:
             process_video_full(
                 src, dst, cfg, depth_model, side_model,
@@ -312,8 +406,11 @@ def main(argv=None):
                 scene_detect_threshold=args.scene_detect_threshold,
                 scene_min_frames=args.scene_min_frames,
                 scene_detect_checkpoint=args.scene_detect_checkpoint,
+                scene_cache_dir=args.scene_cache_dir,
+                scene_cache_disable=args.disable_scene_cache,
                 autocrop=args.autocrop, autocrop_mode=args.autocrop_mode,
-                start_time=args.start_time, end_time=args.end_time)
+                start_time=args.start_time, end_time=args.end_time,
+                debug_depth=args.debug_depth)
         except Exception as e:
             if not args.skip_error:
                 raise
@@ -337,7 +434,7 @@ def main(argv=None):
         if os.path.splitext(src)[1].lower() in VIDEO_EXTS:
             # dir batch with videos: per-file error flags + resume
             base = os.path.splitext(os.path.basename(src))[0]
-            vdst = (os.path.join(args.output, base + ".mp4")
+            vdst = (os.path.join(args.output, base + "." + args.video_format)
                     if is_dir_out or os.path.isdir(args.output)
                     else args.output)
             if run_video(src, vdst):

@@ -35,6 +35,11 @@ class StereoConfig:
     preserve_screen_border: bool = False
     warp_steps: Optional[int] = None
     stereo_width: Optional[int] = None
+    # inpaint-method mask shaping (reference --mask-inner-dilation/
+    # --mask-outer-dilation/--inpaint-max-width)
+    mask_inner_dilation: int = 0
+    mask_outer_dilation: int = 0
+    inpaint_max_width: Optional[int] = None
     rotate_left: bool = False
     rotate_right: bool = False
     max_output_width: Optional[int] = None
@@ -80,7 +85,10 @@ def apply_divergence(depth, im, cfg: StereoConfig, side_model=None,
         assert side_model is not None, f"{cfg.method} needs an inpaint model"
         return side_model.infer(
             im, depth, cfg.divergence, convergence,
-            synthetic_view=cfg.synthetic_view)
+            synthetic_view=cfg.synthetic_view,
+            inner_dilation=cfg.mask_inner_dilation,
+            outer_dilation=cfg.mask_outer_dilation,
+            max_width=cfg.inpaint_max_width)
     if cfg.method in {"grid_sample", "backward"}:
         return apply_divergence_grid_sample(
             im, depth, cfg.divergence, convergence,

@@ -21,7 +21,8 @@ class Iw3FrameProcessor:
 
     def __init__(self, cfg: StereoConfig, depth_model, side_model=None,
                  side_params=None, tta=False, edge_dilation=0,
-                 scene_boundaries=None, crop=None, mesh=None):
+                 scene_boundaries=None, crop=None, mesh=None,
+                 debug_depth=False):
         self.cfg = cfg
         self.depth_model = depth_model
         self.side_model = side_model
@@ -40,6 +41,7 @@ class Iw3FrameProcessor:
         # the reference's multi-GPU DeviceSwitchInference round-robin,
         # nunif/utils/video.py:1645,1695)
         self.mesh = mesh
+        self.debug_depth = debug_depth
         self._frame_idx = 0
         self._rgb_queue = []
         self._compose_jit = None
@@ -60,6 +62,12 @@ class Iw3FrameProcessor:
         return flags if any(flags) else [False] * batch_len
 
     def _compose_impl(self, depth, im):
+        if self.debug_depth:
+            # normalized depth visualization (reference --debug-depth)
+            from ..modules.resize import resize
+            d = jnp.clip(resize(depth, im.shape[1], im.shape[2],
+                                mode="bilinear", antialias=False), 0, 1)
+            return jnp.broadcast_to(d, d.shape[:3] + (3,))
         # plain grid-sample warps need depth at frame resolution (the NN /
         # forward warps resize internally) — mirrors pipeline.process_image
         if self.cfg.method in {"grid_sample", "backward", "NULL"} and \
@@ -172,9 +180,11 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                        ema_normalize=False, ema_decay=0.75, ema_buffer=30,
                        scene_detect=False, scene_detect_threshold=0.3,
                        scene_min_frames=10, scene_detect_checkpoint=None,
+                       scene_cache_dir=None, scene_cache_disable=False,
                        autocrop=False, autocrop_mode="black",
                        start_time=None, end_time=None,
-                       stop_event=None, suspend_event=None, mesh=None):
+                       stop_event=None, suspend_event=None, mesh=None,
+                       debug_depth=False):
     """reference iw3/utils.py:974-1170 (video path, software encoders).
 
     scene_detect: TransNetV2/histogram pre-pass with on-disk cache; the EMA
@@ -190,11 +200,20 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
     video_config = video_config or VideoOutputConfig()
     scene_boundaries = None
     if scene_detect:
-        from .scene_boundary_cache import detect_boundaries_cached
-        scene_boundaries = detect_boundaries_cached(
-            input_path, max_fps=video_config.max_fps,
-            threshold=scene_detect_threshold, min_frames=scene_min_frames,
-            checkpoint=scene_detect_checkpoint)
+        if scene_cache_disable:
+            from ..utils.shot_boundary import detect_boundaries
+            scene_boundaries = detect_boundaries(
+                input_path, threshold=scene_detect_threshold,
+                min_frames=scene_min_frames,
+                checkpoint=scene_detect_checkpoint)
+        else:
+            from .scene_boundary_cache import detect_boundaries_cached
+            scene_boundaries = detect_boundaries_cached(
+                input_path, max_fps=video_config.max_fps,
+                threshold=scene_detect_threshold,
+                min_frames=scene_min_frames,
+                checkpoint=scene_detect_checkpoint,
+                cache_dir=scene_cache_dir)
     crop = None
     if autocrop:
         from ..utils.autocrop import autocrop_analyze_video
@@ -205,7 +224,7 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
     proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params,
                              tta=tta, edge_dilation=edge_dilation,
                              scene_boundaries=scene_boundaries, crop=crop,
-                             mesh=mesh)
+                             mesh=mesh, debug_depth=debug_depth)
     _process_video(input_path, output_path, proc, batch_size=batch_size,
                    config=video_config, flush_callback=proc.flush,
                    start_time=start_time, end_time=end_time,

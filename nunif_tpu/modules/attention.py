@@ -55,7 +55,14 @@ def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
 
 
 class ShiftedWindowAttention(nn.Module):
-    """Swin V1 (shifted-)window MHA with relative position bias."""
+    """Swin V1 (shifted-)window MHA with relative position bias.
+
+    ``__call__(x)`` takes an image (B, H, W, C).  ``__call__(xw,
+    windows=(b, nh, nw))`` takes pre-partitioned shifted windows
+    (b*nh*nw, N, C) and returns the same layout — the hot path used by
+    SwinTransformerBlock so residual+MLP stay in token layout and the
+    roll+partition relayouts fuse into one XLA copy per block edge.
+    """
     dim: int
     num_heads: int
     window_size: int = 6
@@ -64,36 +71,41 @@ class ShiftedWindowAttention(nn.Module):
     fused: bool = None  # None = auto (Pallas kernel on TPU, XLA elsewhere)
 
     @nn.compact
-    def __call__(self, x):
-        b, h, w, c = x.shape
+    def __call__(self, x, windows=None):
         ws = self.window_size
-        assert h % ws == 0 and w % ws == 0, (h, w, ws)
-        shift = self.shift_size if (h > ws or w > ws) else 0
         n = ws * ws
+        if windows is not None:
+            b, nh, nw = windows
+            h, w = nh * ws, nw * ws
+            c = x.shape[-1]
+            shift = self.shift_size if (h > ws or w > ws) else 0
+            xw = x
+        else:
+            b, h, w, c = x.shape
+            assert h % ws == 0 and w % ws == 0, (h, w, ws)
+            shift = self.shift_size if (h > ws or w > ws) else 0
+            nh, nw = h // ws, w // ws
+            if shift > 0:
+                x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+            xw = xw.reshape(b * nh * nw, n, c)
         head_dim = c // self.num_heads
 
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) * (2 * ws - 1), self.num_heads), jnp.float32)
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=x.dtype, name="qkv")
-        proj = nn.Dense(c, dtype=x.dtype, name="proj")
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=xw.dtype,
+                       name="qkv")
+        proj = nn.Dense(c, dtype=xw.dtype, name="proj")
 
         idx = relative_position_index(ws, ws)
         rel_bias = bias_table[idx.reshape(-1)].reshape(n, n, self.num_heads)
         rel_bias = rel_bias.transpose(2, 0, 1)  # (H, N, N)
 
-        if shift > 0:
-            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-
-        nh, nw = h // ws, w // ws
-
         use_fused = self.fused
         if use_fused is None:
             use_fused = jax.default_backend() == "tpu"
-
-        xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
-        xw = xw.reshape(b * nh * nw, n, c)
 
         if use_fused:
             from ..ops.swin_attention import fused_window_attention
@@ -102,6 +114,8 @@ class ShiftedWindowAttention(nn.Module):
                 num_heads=self.num_heads, window=ws, shift=shift,
                 n_wh=nh, n_ww=nw)
             out = proj(out)
+            if windows is not None:
+                return out
             out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
             out = out.reshape(b, h, w, c)
             if shift > 0:
@@ -123,12 +137,14 @@ class ShiftedWindowAttention(nn.Module):
             attn = attn + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(b * nh * nw, self.num_heads, n, n)
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(xw.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=jnp.float32).astype(xw.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(-1, n, c)
         out = proj(out)
 
+        if windows is not None:
+            return out
         out = out.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(b, h, w, c)
         if shift > 0:
@@ -171,12 +187,32 @@ class SwinTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = self._norm("norm1")(x)
-        x = x + ShiftedWindowAttention(
+        # Token-layout orchestration: ONE fused (roll+partition) relayout
+        # in, ONE fused (reverse+unroll) out — norms, residuals and the MLP
+        # are pointwise per token, so keeping them in window layout lets
+        # XLA collapse each block edge into a single copy instead of
+        # image-layout round trips around the attention.
+        b, hh, ww_, c = x.shape
+        ws = self.window_size
+        shift = self.shift_size if (hh > ws or ww_ > ws) else 0
+        nh, nw = hh // ws, ww_ // ws
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nh * nw, ws * ws, c)
+
+        h = self._norm("norm1")(xw)
+        xw = xw + ShiftedWindowAttention(
             self.dim, self.num_heads, self.window_size, self.shift_size,
-            name="attn")(h)
-        h = self._norm("norm2")(x)
-        x = x + MLPBlock(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(h)
+            name="attn")(h, windows=(b, nh, nw))
+        h = self._norm("norm2")(xw)
+        xw = xw + MLPBlock(int(self.dim * self.mlp_ratio), self.dim,
+                           name="mlp")(h)
+
+        x = xw.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hh, ww_, c)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
         return x
 
 

@@ -66,7 +66,7 @@ def _load():
         lib.vio_writer_open.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_char_p, ctypes.c_int]
         lib.vio_writer_write.argtypes = [ctypes.c_void_p,
                                          ctypes.POINTER(ctypes.c_uint8)]
@@ -190,13 +190,15 @@ class VideoWriter:
                  fps_num: int, fps_den: int = 1, codec: str = "libx264",
                  pix_fmt: str = "yuv420p", preset: str = "medium",
                  crf: int = 20, rgb48: bool = False,
-                 audio_source: str | None = None):
+                 audio_source: str | None = None,
+                 extra_opts: str = ""):
         lib = _load()
         err = ctypes.create_string_buffer(512)
         self._h = lib.vio_writer_open(
             path.encode(), width, height, fps_num, fps_den, codec.encode(),
             pix_fmt.encode(), preset.encode(), crf, int(rgb48),
-            (audio_source or "").encode(), err, 512)
+            (audio_source or "").encode(), (extra_opts or "").encode(),
+            err, 512)
         if not self._h:
             raise IOError(f"vio_writer_open({path}): {err.value.decode()}")
         self._lib = lib

@@ -48,6 +48,31 @@ class VideoOutputConfig:
     # tone-map BT.2020 PQ/HLG input to BT.709 SDR on device
     # (reference nunif/utils/video.py:309,1025-1041)
     hdr_tonemap: bool = True
+    # optional encoder knobs (reference --video-bitrate/--tune/
+    # --profile-level/--keyframe-interval)
+    bitrate: Optional[str] = None       # e.g. "8M"
+    tune: tuple = ()                    # x264/x265 tune values
+    profile_level: Optional[str] = None
+    keyframe_interval: Optional[float] = None  # seconds
+
+    def encoder_opts(self, fps: Fraction) -> str:
+        """k=v,... string for the native writer's generic option hook."""
+        opts = []
+        if self.bitrate:
+            b = str(self.bitrate).strip().upper()
+            mult = 1
+            if b.endswith("M"):
+                mult, b = 1_000_000, b[:-1]
+            elif b.endswith("K"):
+                mult, b = 1_000, b[:-1]
+            opts.append(f"b={int(float(b) * mult)}")
+        if self.tune:
+            opts.append(f"tune={self.tune[0]}")
+        if self.profile_level:
+            opts.append(f"level={self.profile_level}")
+        if self.keyframe_interval:
+            opts.append(f"gop={max(1, int(float(fps) * self.keyframe_interval))}")
+        return ",".join(opts)
 
 
 class FixedFPSRetimer:
@@ -201,7 +226,8 @@ def process_video(input_path: str, output_path: str,
                         codec=config.codec, pix_fmt=config.pix_fmt,
                         preset=config.preset, crf=config.crf,
                         rgb48=config.rgb48,
-                        audio_source=input_path if config.audio_copy else None)
+                        audio_source=input_path if config.audio_copy else None,
+                        extra_opts=config.encoder_opts(out_fps))
                 for frame in arr:
                     writer.write(frame)
         except Exception as e:  # pragma: no cover
@@ -291,7 +317,8 @@ def generate_video(output_path: str, frame_generator,
     writer = backend.VideoWriter(
         output_path, width, height, fps_num=fps.numerator,
         fps_den=fps.denominator, codec=config.codec, pix_fmt=config.pix_fmt,
-        preset=config.preset, crf=config.crf, rgb48=config.rgb48)
+        preset=config.preset, crf=config.crf, rgb48=config.rgb48,
+        extra_opts=config.encoder_opts(fps))
     writer_dtype = np.uint16 if config.rgb48 else np.uint8
     n = 0
     with writer:
