@@ -266,6 +266,106 @@ VIO_API int vio_reader_next(VioReader *r, uint8_t *buf, double *pts_sec) {
     }
 }
 
+static void vtt_ts(FILE *f, double t) {
+    if (t < 0) t = 0;
+    int h = (int)(t / 3600), m = ((int)(t / 60)) % 60, s = ((int)t) % 60;
+    int ms = (int)((t - (int)t) * 1000);
+    fprintf(f, "%02d:%02d:%02d.%03d", h, m, s, ms);
+}
+
+// extract the best text subtitle stream as WebVTT (reference
+// iw3/player/media_library.py extract_subtitle).  returns cue count,
+// 0 = no subtitle stream, <0 = error
+VIO_API int vio_extract_subtitles(const char *path, const char *out_path,
+                                  char *err, int errlen) {
+    AVFormatContext *fmt = nullptr;
+    int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
+    if (ret < 0) {
+        set_err(err, errlen, "open_input: " + averr(ret));
+        return -1;
+    }
+    avformat_find_stream_info(fmt, nullptr);
+    const AVCodec *codec = nullptr;
+    int si = av_find_best_stream(fmt, AVMEDIA_TYPE_SUBTITLE, -1, -1,
+                                 &codec, 0);
+    if (si < 0 || !codec) {
+        avformat_close_input(&fmt);
+        return 0;
+    }
+    AVCodecContext *dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(dec, fmt->streams[si]->codecpar);
+    if (avcodec_open2(dec, codec, nullptr) < 0) {
+        avcodec_free_context(&dec);
+        avformat_close_input(&fmt);
+        return 0;  // bitmap subs (pgs/dvd) etc: treat as none
+    }
+    FILE *f = fopen(out_path, "w");
+    if (!f) {
+        set_err(err, errlen, "cannot write vtt");
+        avcodec_free_context(&dec);
+        avformat_close_input(&fmt);
+        return -1;
+    }
+    fprintf(f, "WEBVTT\n\n");
+    AVPacket *pkt = av_packet_alloc();
+    AVRational tb = fmt->streams[si]->time_base;
+    int count = 0;
+    while (av_read_frame(fmt, pkt) >= 0) {
+        if (pkt->stream_index == si) {
+            AVSubtitle sub;
+            int got = 0;
+            if (avcodec_decode_subtitle2(dec, &sub, &got, pkt) >= 0 && got) {
+                double start = (pkt->pts != AV_NOPTS_VALUE
+                                ? pkt->pts * av_q2d(tb) : 0.0)
+                    + sub.start_display_time / 1000.0;
+                double dur = pkt->duration > 0
+                    ? pkt->duration * av_q2d(tb)
+                    : (sub.end_display_time - sub.start_display_time) / 1000.0;
+                if (dur <= 0) dur = 3.0;
+                std::string text;
+                for (unsigned i = 0; i < sub.num_rects; i++) {
+                    AVSubtitleRect *r = sub.rects[i];
+                    if (r->type == SUBTITLE_TEXT && r->text) {
+                        if (!text.empty()) text += "\n";
+                        text += r->text;
+                    } else if (r->type == SUBTITLE_ASS && r->ass) {
+                        // ass event line: ReadOrder,Layer,Style,Name,
+                        // MarginL,MarginR,MarginV,Effect,Text
+                        const char *p = r->ass;
+                        int commas = 0;
+                        while (*p && commas < 8) {
+                            if (*p == ',') commas++;
+                            p++;
+                        }
+                        if (*p) {
+                            std::string t(p);
+                            size_t pos;
+                            while ((pos = t.find("\\N")) != std::string::npos)
+                                t.replace(pos, 2, "\n");
+                            if (!text.empty()) text += "\n";
+                            text += t;
+                        }
+                    }
+                }
+                if (!text.empty()) {
+                    vtt_ts(f, start);
+                    fprintf(f, " --> ");
+                    vtt_ts(f, start + dur);
+                    fprintf(f, "\n%s\n\n", text.c_str());
+                    count++;
+                }
+                avsubtitle_free(&sub);
+            }
+        }
+        av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+    fclose(f);
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return count;
+}
+
 // seek to ~seconds (keyframe-backward); caller discards frames with
 // pts < target.  returns 0 on success, <0 on error
 VIO_API int vio_reader_seek(VioReader *r, double seconds) {

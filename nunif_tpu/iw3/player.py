@@ -44,14 +44,50 @@ def detect_stereo_format(filename: str) -> str:
     return "mono"
 
 
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+_IMAGE_CTYPES = {".png": "image/png", ".jpg": "image/jpeg",
+                 ".jpeg": "image/jpeg", ".webp": "image/webp",
+                 ".bmp": "image/bmp"}
+
+
+def split_zip_path(rel_path: str):
+    """"archive.zip/inner/entry.png" -> ("archive.zip", "inner/entry.png")
+    (reference iw3/player/media_library.py split_zip_path)."""
+    low = rel_path.lower()
+    idx = low.find(".zip/")
+    if idx < 0:
+        return rel_path, None
+    return rel_path[:idx + 4], rel_path[idx + 5:]
+
+
 def list_media(root: str):
+    """Videos, image galleries and zip archives (reference
+    iw3/player/media_library.py list_files incl. zip support)."""
+    import zipfile
     out = []
     for dirpath, _dirs, files in os.walk(root):
         for f in sorted(files):
-            if os.path.splitext(f)[1].lower() in VIDEO_EXTS:
-                rel = os.path.relpath(os.path.join(dirpath, f), root)
-                out.append({"path": rel,
+            ext = os.path.splitext(f)[1].lower()
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, root)
+            if ext in VIDEO_EXTS:
+                out.append({"path": rel, "type": "video",
                             "stereo_format": detect_stereo_format(f)})
+            elif ext in IMAGE_EXTS:
+                out.append({"path": rel, "type": "image",
+                            "stereo_format": detect_stereo_format(f)})
+            elif ext == ".zip":
+                try:
+                    with zipfile.ZipFile(full) as zf:
+                        entries = [n for n in sorted(zf.namelist())
+                                   if os.path.splitext(n)[1].lower()
+                                   in IMAGE_EXTS]
+                except (zipfile.BadZipFile, OSError):
+                    continue
+                if entries:
+                    out.append({"path": rel, "type": "zip",
+                                "stereo_format": detect_stereo_format(f),
+                                "entries": entries})
     return out
 
 
@@ -102,13 +138,62 @@ def make_handler(root: str):
                            "application/json")
             elif path.startswith("/media/"):
                 self._serve_media(path[len("/media/"):])
+            elif path.startswith("/subtitles/"):
+                self._serve_subtitles(path[len("/subtitles/"):])
             else:
                 self._send(404, b"not found")
 
-        def _serve_media(self, rel):
+        def _safe_path(self, rel):
             full = os.path.realpath(os.path.join(root, rel))
             if not full.startswith(os.path.realpath(root) + os.sep) or \
                     not os.path.isfile(full):
+                return None
+            return full
+
+        def _serve_subtitles(self, rel):
+            """WebVTT extracted from the video's text subtitle stream
+            (reference media_library.py get_subtitles)."""
+            full = self._safe_path(rel)
+            if full is None:
+                self._send(404, b"not found")
+                return
+            from ..video.backend import extract_subtitles
+            vtt = full + ".vtt"
+            try:
+                if not (os.path.exists(vtt) and
+                        os.path.getmtime(vtt) >= os.path.getmtime(full)):
+                    n = extract_subtitles(full, vtt)
+                    if n == 0:
+                        os.unlink(vtt) if os.path.exists(vtt) else None
+                        self._send(404, b"no subtitles")
+                        return
+                with open(vtt, "rb") as f:
+                    self._send(200, f.read(), "text/vtt; charset=utf-8")
+            except (IOError, OSError) as e:
+                logger.debug("subtitles: %s", e)
+                self._send(404, b"no subtitles")
+
+        def _serve_media(self, rel):
+            zip_part, inner = split_zip_path(rel)
+            if inner is not None:
+                import zipfile
+                zfull = self._safe_path(zip_part)
+                if zfull is None:
+                    self._send(404, b"not found")
+                    return
+                try:
+                    with zipfile.ZipFile(zfull) as zf:
+                        data = zf.read(inner)
+                except (KeyError, zipfile.BadZipFile, OSError):
+                    self._send(404, b"not found")
+                    return
+                ctype = _IMAGE_CTYPES.get(
+                    os.path.splitext(inner)[1].lower(),
+                    "application/octet-stream")
+                self._send(200, data, ctype)
+                return
+            full = self._safe_path(rel)
+            if full is None:
                 self._send(404, b"not found")
                 return
             size = os.path.getsize(full)

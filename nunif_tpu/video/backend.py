@@ -61,6 +61,8 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int)]
         lib.vio_reader_seek.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.vio_extract_subtitles.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
         lib.vio_reader_close.argtypes = [ctypes.c_void_p]
         lib.vio_writer_open.restype = ctypes.c_void_p
         lib.vio_writer_open.argtypes = [
@@ -87,6 +89,21 @@ def available() -> bool:
 
 def encoder_available(name: str) -> bool:
     return bool(_load().vio_encoder_available(name.encode()))
+
+
+def extract_subtitles(path: str, out_vtt_path: str) -> int:
+    """Extract the best text subtitle stream to a WebVTT file.
+
+    Returns the cue count (0 = no subtitle stream).  Reference
+    equivalence: iw3/player/media_library.py extract_subtitle.
+    """
+    lib = _load()
+    err = ctypes.create_string_buffer(512)
+    n = lib.vio_extract_subtitles(path.encode(), out_vtt_path.encode(),
+                                  err, 512)
+    if n < 0:
+        raise IOError(f"extract_subtitles({path}): {err.value.decode()}")
+    return n
 
 
 class VideoReader:

@@ -50,7 +50,8 @@ class TestPlayerServer:
     def test_library(self, server):
         with urllib.request.urlopen(server + "/api/library") as r:
             items = json.loads(r.read())
-        assert items == [{"path": "a_LRF.mp4", "stereo_format": "sbs"}]
+        assert items == [{"path": "a_LRF.mp4", "type": "video",
+                          "stereo_format": "sbs"}]
 
     def test_range_request(self, server):
         req = urllib.request.Request(server + "/media/a_LRF.mp4",
@@ -94,3 +95,84 @@ class TestDesktopStream:
         from PIL import Image
         im = Image.open(io.BytesIO(data))
         assert im.size[0] == 128  # half-sbs keeps source width
+
+
+class TestPlayerMediaLibrary:
+    def _make_root(self, tmp_path):
+        import zipfile
+        root = tmp_path / "media"
+        root.mkdir()
+        # video
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+        generate_video(str(root / "clip_LRH.mp4"),
+                       (np.zeros((48, 64, 3), np.uint8) for _ in range(4)),
+                       64, 48, fps=8,
+                       config=VideoOutputConfig(audio_copy=False))
+        # loose image
+        from nunif_tpu.utils.pil_io import save_image
+        save_image(np.zeros((8, 8, 3), np.uint8), str(root / "img_sbs.png"))
+        # zip gallery
+        with zipfile.ZipFile(root / "gallery.zip", "w") as zf:
+            zf.writestr("a.png", (root / "img_sbs.png").read_bytes())
+            zf.writestr("sub/b.png", (root / "img_sbs.png").read_bytes())
+            zf.writestr("notes.txt", b"ignored")
+        return str(root)
+
+    def test_list_media_with_zip(self, tmp_path):
+        from nunif_tpu.iw3.player import list_media
+        items = list_media(self._make_root(tmp_path))
+        by_type = {i["type"]: i for i in items}
+        assert by_type["video"]["stereo_format"] == "half-sbs"
+        assert by_type["zip"]["entries"] == ["a.png", "sub/b.png"]
+        assert "image" in by_type
+
+    def test_split_zip_path(self):
+        from nunif_tpu.iw3.player import split_zip_path
+        assert split_zip_path("a/b.zip/c/d.png") == ("a/b.zip", "c/d.png")
+        assert split_zip_path("a/b.mp4") == ("a/b.mp4", None)
+
+    def test_player_serves_zip_entry_and_ranges(self, tmp_path):
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+        from nunif_tpu.iw3.player import make_handler
+
+        root = self._make_root(tmp_path)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(root))
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            lib = json.loads(urllib.request.urlopen(
+                base + "/api/library").read())
+            assert any(i["type"] == "zip" for i in lib)
+            # zip entry serving
+            img = urllib.request.urlopen(
+                base + "/media/gallery.zip/a.png")
+            assert img.headers["Content-Type"] == "image/png"
+            assert img.read()[:8] == b"\x89PNG\r\n\x1a\n"
+            # range request on the video
+            req = urllib.request.Request(
+                base + "/media/clip_LRH.mp4",
+                headers={"Range": "bytes=0-99"})
+            r = urllib.request.urlopen(req)
+            assert r.status == 206
+            assert len(r.read()) == 100
+            # no-subtitle video -> 404 (graceful)
+            try:
+                urllib.request.urlopen(base + "/subtitles/clip_LRH.mp4")
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            srv.shutdown()
+
+    def test_extract_subtitles_no_stream(self, tmp_path):
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+        from nunif_tpu.video.backend import extract_subtitles
+        src = str(tmp_path / "nosub.mp4")
+        generate_video(src, (np.zeros((48, 64, 3), np.uint8)
+                             for _ in range(4)), 64, 48, fps=8,
+                       config=VideoOutputConfig(audio_copy=False))
+        assert extract_subtitles(src, src + ".vtt") == 0
