@@ -165,6 +165,50 @@ class MLPBlock(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Raw Dense-shaped params (same tree paths/inits as nn.Dense) for the
+    fused whole-block kernel, which consumes weights directly."""
+    d_in: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.d_in, self.d_out))
+        b = self.param("bias", nn.initializers.zeros, (self.d_out,))
+        return k, b
+
+
+class _AttnParams(nn.Module):
+    """Param mirror of ShiftedWindowAttention (identical tree)."""
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        ws = self.window_size
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), self.num_heads), jnp.float32)
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        return table, (wqkv, bqkv), (wproj, bproj)
+
+
+class _MLPParams(nn.Module):
+    """Param mirror of MLPBlock (identical tree)."""
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return fc1, fc2
+
+
 class SwinTransformerBlock(nn.Module):
     """Swin V1 block: x + attn(norm1(x)); x + mlp(norm2(x)).
 
@@ -201,13 +245,33 @@ class SwinTransformerBlock(nn.Module):
         xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
         xw = xw.reshape(b * nh * nw, ws * ws, c)
 
-        h = self._norm("norm1")(xw)
-        xw = xw + ShiftedWindowAttention(
-            self.dim, self.num_heads, self.window_size, self.shift_size,
-            name="attn")(h, windows=(b, nh, nw))
-        h = self._norm("norm2")(xw)
-        xw = xw + MLPBlock(int(self.dim * self.mlp_ratio), self.dim,
-                           name="mlp")(h)
+        use_fused_block = (self.norm == "none"
+                           and jax.default_backend() == "tpu")
+        if use_fused_block:
+            # whole-block Pallas kernel: qkv + attention + proj + MLP +
+            # residuals with weights resident in VMEM (param tree paths
+            # identical to the module path below)
+            from ..ops.swin_attention import fused_swin_block
+            table, (wqkv, bqkv), (wproj, bproj) = _AttnParams(
+                self.dim, self.num_heads, ws, name="attn")()
+            (wfc1, bfc1), (wfc2, bfc2) = _MLPParams(
+                self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
+            n = ws * ws
+            idx = relative_position_index(ws, ws)
+            rel_bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+            rel_bias = rel_bias.transpose(2, 0, 1).astype(jnp.float32)
+            xw = fused_swin_block(
+                xw, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
+                rel_bias, num_heads=self.num_heads, window=ws,
+                shift=shift, n_wh=nh, n_ww=nw)
+        else:
+            h = self._norm("norm1")(xw)
+            xw = xw + ShiftedWindowAttention(
+                self.dim, self.num_heads, self.window_size, self.shift_size,
+                name="attn")(h, windows=(b, nh, nw))
+            h = self._norm("norm2")(xw)
+            xw = xw + MLPBlock(int(self.dim * self.mlp_ratio), self.dim,
+                               name="mlp")(h)
 
         x = xw.reshape(b, nh, nw, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, hh, ww_, c)

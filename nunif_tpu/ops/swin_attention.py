@@ -168,6 +168,153 @@ def fused_window_attention(qkv, bias, *, num_heads, window, shift,
 
 
 # ---------------------------------------------------------------------------
+# v3: whole-block kernel — qkv projection + window attention + out
+# projection + MLP + both residuals in ONE pallas_call with all weights
+# resident in VMEM.  Eliminates, per swin layer, the XLA-side qkv layout
+# copy ({0,2,1}->{2,1,0}, ~2.9ms at full res), the separate qkv bias
+# broadcast (~3.1ms), the proj+residual add_add fusion (~3.3ms) and the
+# MLP matmul round trips — profiled together at ~40% of non-attention
+# frame time for swin_unet_2x at 1080p.
+
+def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
+                  *, num_heads, head_dim, n_tokens, window, shift,
+                  n_wh, n_ww, block_windows):
+    N = n_tokens
+    C = num_heads * head_dim
+    BW = block_windows
+    blk = pl.program_id(0)
+
+    x = x_ref[:]                                   # (BW, N, C)
+    xt = x.reshape(BW * N, C)
+
+    # qkv projection: (BW*N, C) @ (C, 3C) — one well-shaped MXU pass per
+    # block instead of an XLA matmul + layout copy + bias pass
+    qkv = jax.lax.dot_general(
+        xt, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:][None].astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(BW, N, 3 * C)
+
+    if shift > 0:
+        widx = (blk * BW
+                + jax.lax.broadcasted_iota(jnp.int32, (BW, N), 0))
+        wr = (widx // n_ww) % n_wh
+        wc = widx % n_ww
+        t = jax.lax.broadcasted_iota(jnp.int32, (BW, N), 1)
+        ti = t // window
+        tj = t % window
+        wrapped_r = jnp.where((wr == n_wh - 1) & (ti >= window - shift), 1, 0)
+        wrapped_c = jnp.where((wc == n_ww - 1) & (tj >= window - shift), 2, 0)
+        region = wrapped_r + wrapped_c
+        same_region = region[:, :, None] == region[:, None, :]
+    else:
+        same_region = None
+
+    LOG2E = 1.4426950408889634
+    SHIFT = 24.0
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, x.dtype)
+    head_outs = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, :, C + h * head_dim:C + (h + 1) * head_dim]
+        v = qkv[:, :, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+        scores = jax.lax.dot_general(
+            q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        scores = scores + bias_ref[h].astype(jnp.float32)[None] * LOG2E
+        if same_region is not None:
+            scores = jnp.where(same_region, scores, scores - 100.0 * LOG2E)
+        e = jnp.exp2(scores - SHIFT)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        head_outs.append(jax.lax.dot_general(
+            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+    attn = jnp.concatenate(head_outs, axis=-1).reshape(BW * N, C)
+
+    # out projection + residual 1
+    proj = jax.lax.dot_general(
+        attn, wproj_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y1 = (proj + bproj_ref[:][None].astype(jnp.float32)
+          + xt.astype(jnp.float32)).astype(x.dtype)
+
+    # MLP (norm="none" swin: no LN between) + residual 2
+    h1 = jax.lax.dot_general(
+        y1, wfc1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    h1 = h1 + bfc1_ref[:][None].astype(jnp.float32)
+    # exact gelu (torchvision MLP uses erf-gelu)
+    h1 = 0.5 * h1 * (1.0 + jax.lax.erf(h1 * 0.7071067811865476))
+    h1 = h1.astype(x.dtype)
+    h2 = jax.lax.dot_general(
+        h1, wfc2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = (h2 + bfc2_ref[:][None].astype(jnp.float32)
+           + y1.astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[:] = out.reshape(BW, N, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "shift", "n_wh", "n_ww",
+                     "block_windows", "interpret"))
+def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
+                     bias, *, num_heads, window, shift, n_wh, n_ww,
+                     block_windows=48, interpret=False):
+    """Whole swin block (norm='none') on pre-partitioned windows.
+
+    x: (nw, N, C) tokens; weights in (in, out) layout; bias (heads, N, N)
+    fp32.  Returns (nw, N, C) block output (attention + MLP + residuals).
+    """
+    nw, N, C = x.shape
+    head_dim = C // num_heads
+    assert N == window * window
+
+    bw = min(block_windows, nw)
+    while nw % bw:
+        bw -= 1
+    grid = (nw // bw,)
+    hidden = wfc1.shape[1]
+
+    dt = x.dtype
+    wargs = [w.astype(dt) for w in (wqkv, wproj, wfc1, wfc2)]
+    bargs = [b.astype(jnp.float32) for b in (bqkv, bproj, bfc1, bfc2)]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_block, num_heads=num_heads, head_dim=head_dim,
+            n_tokens=N, window=window, shift=shift, n_wh=n_wh, n_ww=n_ww,
+            block_windows=bw),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, N, C), dt),
+        interpret=interpret,
+    )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
+      wargs[3], bargs[3], bias)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # v2: image-layout kernel — consumes (B*nH, ws, W, 3C) directly; the window
 # partition happens as a VMEM transpose inside the kernel, eliminating the
 # HBM round trip of the reshape/transpose partition (profiled at ~2x the

@@ -140,11 +140,17 @@ def make_blend_filter(scale: int, offset: int, tile_size,
 @functools.lru_cache(maxsize=64)
 def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
                           channels, out_channels, scale, offset, blend_size,
-                          tile_step_hw, compute_dtype_name):
+                          tile_step_hw, compute_dtype_name, ps_factor=1):
     """Construct + jit the render program for one grid bucket.
 
     apply_hash is only part of the cache key; the actual callable is passed
     through _APPLY_FNS (jit closures cannot be cached by value).
+
+    ps_factor > 1: the model emits PRE-pixel-shuffle head output
+    (out_th/s, out_tw/s, C*s^2); the blend runs in that layout and the
+    render returns the un-shuffled canvas — the caller shuffles ONCE after
+    quantization.  The fp32 3-channel-minor shuffle per tile is the most
+    layout-hostile op in the whole program (~27ms/tile at 4K on v5e).
     """
     apply_fn = _APPLY_FNS[apply_hash]
     compute_dtype = jnp.dtype(compute_dtype_name)
@@ -174,6 +180,19 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
     y_buffer_h = ((h_blocks - 1) * step_h + tile_h) * scale
     y_buffer_w = ((w_blocks - 1) * step_w + tile_w) * scale
 
+    s = ps_factor
+    if s > 1:
+        assert offset % scale == 0 and out_th % s == 0 and out_tw % s == 0
+        # blend weights regrouped into head-channel order: channel
+        # c*s^2 + dy*s + dx carries blend[y*s+dy, x*s+dx]
+        b2 = blend[..., 0].reshape(out_th // s, s, out_tw // s, s)
+        b2 = b2.transpose(0, 2, 1, 3).reshape(out_th // s, out_tw // s,
+                                              s * s)
+        blend_ps = np.tile(b2, (1, 1, out_channels)).reshape(
+            out_th // s, out_tw // s, out_channels * s * s)
+        # per-subpixel weight canvas (channel-independent): (.., s*s)
+        blend_w = b2
+
     def render(params, x_padded):
         # x_padded: (H_in, W_in, C) fp32, already replicate-padded to the grid
         in_o = jnp.asarray(in_origins)
@@ -194,6 +213,41 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
             return apply_fn(params, tb).astype(jnp.float32)
 
         outs = jax.lax.map(run_chunk, tiles)
+
+        if s > 1:
+            # pre-shuffle blend: canvas in the model head's (H/s, W/s,
+            # C*s^2) layout; sub-pixel reorder deferred to the caller
+            th_ps, tw_ps = out_th // s, out_tw // s
+            cps = out_channels * s * s
+            outs = outs.reshape(n_padded, th_ps, tw_ps, cps)
+            blend_f_ps = jnp.asarray(blend_ps)
+            blend_f_w = jnp.asarray(blend_w)
+            out_o_ps = out_o // s
+            pixels0 = jnp.zeros((y_buffer_h // s, y_buffer_w // s, cps),
+                                jnp.float32)
+            weights0 = jnp.zeros((y_buffer_h // s, y_buffer_w // s, s * s),
+                                 jnp.float32)
+
+            def body_ps(carry, inp):
+                pixels, weights = carry
+                out, oo, v = inp
+                cur_p = jax.lax.dynamic_slice(
+                    pixels, (oo[0], oo[1], 0), (th_ps, tw_ps, cps))
+                cur_w = jax.lax.dynamic_slice(
+                    weights, (oo[0], oo[1], 0), (th_ps, tw_ps, s * s))
+                pixels = jax.lax.dynamic_update_slice(
+                    pixels, cur_p + out * (blend_f_ps * v), (oo[0], oo[1], 0))
+                weights = jax.lax.dynamic_update_slice(
+                    weights, cur_w + blend_f_w * v, (oo[0], oo[1], 0))
+                return (pixels, weights), None
+
+            (pixels, weights), _ = jax.lax.scan(
+                body_ps, (pixels0, weights0), (outs, out_o_ps, valid_w))
+            wfull = jnp.repeat(weights[:, :, None, :], out_channels,
+                               axis=2).reshape(pixels.shape)
+            y = pixels / jnp.maximum(wfull, 1e-6)
+            return jnp.clip(y, 0.0, 1.0)  # (H/s, W/s, C*s^2)
+
         outs = outs.reshape(n_padded, out_th, out_tw, out_channels)
 
         pixels0 = jnp.zeros((y_buffer_h, y_buffer_w, out_channels), jnp.float32)
@@ -298,13 +352,38 @@ class TiledRenderer:
                                tile_hw, model.i2i_blend_size)
         left, right, top, bottom = cfg.pad
         out_channels = getattr(model, "out_channels", c)
+
+        # pre-shuffle fast path: blend in the model head layout, shuffle
+        # once after quantization (see _build_render_program ps_factor)
+        ps = 1
+        field_names = {f.name for f in dataclasses.fields(type(model))}
+        if ("pre_shuffle_output" in field_names and model.i2i_scale > 1
+                and model.i2i_offset % model.i2i_scale == 0):
+            ps = int(model.i2i_scale)
+            ps_model = dataclasses.replace(model, pre_shuffle_output=True)
+            apply_key = self._apply_key + ("ps",)
+
+            def ps_apply(p, xb):
+                return ps_model.apply({"params": p}, xb, train=False)
+
+            _register_apply_fn(apply_key, ps_apply)
+        else:
+            apply_key = self._apply_key
+
         inner = _build_render_program(
-            self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_hw,
+            apply_key, cfg.h_blocks, cfg.w_blocks, tile_hw,
             batch_size, c, out_channels, cfg.scale, cfg.offset,
             cfg.blend_size, (cfg.input_tile_step_h, cfg.input_tile_step_w),
-            jnp.dtype(self.policy.compute_dtype).name)
+            jnp.dtype(self.policy.compute_dtype).name, ps_factor=ps)
         in_dt = jnp.dtype(in_dtype)
         out_dt = jnp.dtype(out_dtype)
+
+        def quantize(y):
+            if out_dt == jnp.uint8:
+                return jnp.round(y * 255.0).astype(jnp.uint8)
+            if out_dt == jnp.uint16:
+                return jnp.round(y * 65535.0).astype(jnp.uint16)
+            return y
 
         @jax.jit
         def program(params, frame):
@@ -315,12 +394,15 @@ class TiledRenderer:
                 x = x.astype(jnp.float32) * (1.0 / 65535.0)
             x = jnp.pad(x, ((top, bottom), (left, right), (0, 0)),
                         mode="edge")
+            if ps > 1:
+                y = quantize(inner(params, x))  # (H/s, W/s, C*s^2) int
+                hs, ws_, _ = y.shape
+                y = y.reshape(hs, ws_, out_channels, ps, ps)
+                y = y.transpose(0, 3, 1, 4, 2)
+                y = y.reshape(hs * ps, ws_ * ps, out_channels)
+                return y[:cfg.y_h, :cfg.y_w, :]
             y = inner(params, x)[:cfg.y_h, :cfg.y_w, :]
-            if out_dt == jnp.uint8:
-                y = jnp.round(y * 255.0).astype(jnp.uint8)
-            elif out_dt == jnp.uint16:
-                y = jnp.round(y * 65535.0).astype(jnp.uint16)
-            return y
+            return quantize(y)
 
         return program
 

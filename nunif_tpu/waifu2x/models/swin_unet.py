@@ -43,9 +43,16 @@ class PatchUp(nn.Module):
 
 
 class ToImage(nn.Module):
-    """linear head -> pixel_shuffle(scale) (reference: swin_unet.py:86)."""
+    """linear head -> pixel_shuffle(scale) (reference: swin_unet.py:86).
+
+    ``do_shuffle=False`` returns the pre-shuffle (H, W, C*s^2) head output —
+    the tiled renderer blends in that layout and defers the sub-pixel
+    reorder to the final uint8 quantize (the fp32 3-channel-minor shuffle
+    is the single most layout-hostile op on TPU: measured ~27ms/tile at
+    4K vs ~2ms as a one-shot uint8 pass)."""
     out_channels: int
     scale_factor: int
+    do_shuffle: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -58,6 +65,8 @@ class ToImage(nn.Module):
             x = nn.Dense(self.out_channels * s * s, dtype=x.dtype, name="proj0")(x)
             x = leaky_relu(x, 0.2)
             x = nn.Dense(self.out_channels * s * s, dtype=x.dtype, name="proj1")(x)
+        if not self.do_shuffle:
+            return x
         return pixel_shuffle(x, s)
 
 
@@ -74,6 +83,7 @@ class SwinUNetBase(nn.Module):
     base_layers: int = 2
     scale_factor: int = 1
     norm: str = "none"
+    pre_shuffle: bool = False  # see ToImage.do_shuffle
 
     @nn.compact
     def __call__(self, x):
@@ -111,13 +121,17 @@ class SwinUNetBase(nn.Module):
             x = x + x3
             x = SwinTransformerBlocks(c, heads, depth, w, norm=self.norm,
                                       name="swin5")(x)
-            x = ToImage(self.out_channels, self.scale_factor, name="to_image")(x)
+            x = ToImage(self.out_channels, self.scale_factor,
+                        do_shuffle=not self.pre_shuffle,
+                        name="to_image")(x)
         else:
             x = PatchUp(c * 2, name="up1")(x)
             x = x + nn.Dense(c * 2, dtype=x.dtype, name="proj2")(x3)
             x = SwinTransformerBlocks(c * 2, heads, depth, w, norm=self.norm,
                                       name="swin5")(x)
-            x = ToImage(self.out_channels, self.scale_factor, name="to_image")(x)
+            x = ToImage(self.out_channels, self.scale_factor,
+                        do_shuffle=not self.pre_shuffle,
+                        name="to_image")(x)
         return x
 
 
@@ -160,6 +174,7 @@ class SwinUNet2x(I2IBaseModel):
     out_channels: int = 3
     base_dim: int = 96
     layer_norm: bool = False
+    pre_shuffle_output: bool = False  # renderer blend-in-head-layout hook
 
     i2i_scale = 2
     i2i_offset = 16
@@ -172,7 +187,8 @@ class SwinUNet2x(I2IBaseModel):
     def __call__(self, x, *, train: bool = False):
         norm = "layernorm_nobias" if self.layer_norm else "none"
         z = SwinUNetBase(self.in_channels, self.out_channels, self.base_dim, 2,
-                         scale_factor=2, norm=norm, name="unet")(x)
+                         scale_factor=2, norm=norm,
+                         pre_shuffle=self.pre_shuffle_output, name="unet")(x)
         return z if train else jnp.clip(z, 0.0, 1.0)
 
 
@@ -184,6 +200,7 @@ class SwinUNet4x(I2IBaseModel):
     pre_antialias: bool = False
     base_dim: int = 96
     layer_norm: bool = False
+    pre_shuffle_output: bool = False
 
     i2i_scale = 4
     i2i_offset = 32
@@ -198,7 +215,8 @@ class SwinUNet4x(I2IBaseModel):
             x = _pre_antialias(x)
         norm = "layernorm_nobias" if self.layer_norm else "none"
         z = SwinUNetBase(self.in_channels, self.out_channels, self.base_dim, 2,
-                         scale_factor=4, norm=norm, name="unet")(x)
+                         scale_factor=4, norm=norm,
+                         pre_shuffle=self.pre_shuffle_output, name="unet")(x)
         return z if train else jnp.clip(z, 0.0, 1.0)
 
 

@@ -9,6 +9,8 @@ torch = pytest.importorskip("torch")
 
 from nunif_tpu.models import torch_convert as tc  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _randomize_bn(tm, rng):
     for m in tm.modules():

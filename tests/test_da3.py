@@ -1,5 +1,6 @@
 """Depth-Anything-V3 mono: sky-weighted disparity, wrapper, refiner."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,8 @@ from nunif_tpu.iw3.depth.da3 import (
 from nunif_tpu.iw3.models.da3mono_disparity import (
     DA3MonoDisparity, extract_features, FEAT_DIM,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_da3_net_outputs():

@@ -12,6 +12,8 @@ import torch.nn as tnn  # noqa: E402
 
 from nunif_tpu.models import torch_convert as tc  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _t2j(x):
     return jnp.asarray(x.detach().numpy())

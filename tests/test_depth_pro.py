@@ -1,11 +1,14 @@
 """DepthPro: tile split/merge numerics, net shapes, wrapper semantics."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from nunif_tpu.iw3.depth.depth_pro import (
     DepthPro, DepthProModel, _tile_positions, _split_tiles, _merge_tiles,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_tile_positions():

@@ -1,11 +1,14 @@
 """GAN training step: shapes, warmup gating, adaptive weight, r1 cadence."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from nunif_tpu.training.gan import GANConfig, make_gan_train_step
+
+pytestmark = pytest.mark.slow
 
 
 def _toy():

@@ -1,5 +1,6 @@
 """Video inpainting + MLBW-inpaint methods."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -7,6 +8,8 @@ from nunif_tpu.iw3.models.light_video_inpaint_v1 import (
     LightVideoInpaintV1, video_inpaint_infer, SEQ_LEN,
 )
 from nunif_tpu.iw3.mlbw_inpaint import MLBWInpaint, MLBWInpaintVideo
+
+pytestmark = pytest.mark.slow
 
 
 def _clip(n, h=64, w=64):

@@ -12,6 +12,8 @@ from nunif_tpu.models import create_model  # noqa: E402
 from nunif_tpu.models import torch_convert as tc  # noqa: E402
 import nunif_tpu.iw3  # noqa: F401,E402
 
+pytestmark = pytest.mark.slow
+
 
 def _structure_match(model, params, shape, with_mask=False):
     if with_mask:

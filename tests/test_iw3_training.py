@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _base_args(tmp_path, **kw):
     d = dict(model_dir=str(tmp_path / "models"), data_dir=str(tmp_path / "d"),

@@ -7,6 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _make_video(path, n=12, w=96, h=64, fps=8):
     from nunif_tpu.video import generate_video, VideoOutputConfig

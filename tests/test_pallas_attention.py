@@ -86,3 +86,47 @@ def test_image_kernel_matches_xla_path(shift):
     if shift:
         out = jnp.roll(out, (shift, shift), axis=(1, 2))
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+
+def test_fused_swin_block_matches_module(monkeypatch):
+    """v3 whole-block kernel (interpret mode) == unfused module path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nunif_tpu.ops.swin_attention import fused_swin_block
+    from nunif_tpu.modules.attention import SwinTransformerBlock
+
+    for shift in (0, 3):
+        blk = SwinTransformerBlock(96, 6, 6, shift_size=shift, norm="none")
+        rng = np.random.default_rng(shift)
+        x = jnp.asarray(rng.normal(0, 0.5, (1, 24, 36, 96)), jnp.float32)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        want = np.asarray(blk.apply({"params": params}, x))
+
+        # drive the kernel directly from the same params
+        ws, n = 6, 36
+        nh, nw = 24 // ws, 36 // ws
+        xs = x
+        if shift:
+            xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+        xw = xs.reshape(1, nh, ws, nw, ws, 96).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(nh * nw, n, 96)
+        from nunif_tpu.modules.attention import relative_position_index
+        a = params["attn"]
+        m = params["mlp"]
+        idx = relative_position_index(ws, ws)
+        table = a["relative_position_bias_table"]
+        rel = table[idx.reshape(-1)].reshape(n, n, 6).transpose(2, 0, 1)
+        out = fused_swin_block(
+            xw, a["qkv"]["kernel"], a["qkv"]["bias"],
+            a["proj"]["kernel"], a["proj"]["bias"],
+            m["fc1"]["kernel"], m["fc1"]["bias"],
+            m["fc2"]["kernel"], m["fc2"]["bias"],
+            jnp.asarray(rel, jnp.float32),
+            num_heads=6, window=ws, shift=shift, n_wh=nh, n_ww=nw,
+            interpret=True)
+        out = out.reshape(1, nh, nw, ws, ws, 96).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(1, 24, 36, 96)
+        if shift:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)

@@ -12,6 +12,8 @@ from nunif_tpu.parallel.mesh import make_mesh
 from nunif_tpu.training import Trainer, TrainerConfig
 import nunif_tpu.waifu2x  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh():

@@ -13,6 +13,8 @@ from nunif_tpu.models.io import load_model  # noqa: E402
 from nunif_tpu.models.pth_import import supported_torch_models  # noqa: E402
 import nunif_tpu.waifu2x  # noqa: F401,E402
 
+pytestmark = pytest.mark.slow
+
 
 def _save_reference_style(tmp_path, name, kwargs, sd):
     path = str(tmp_path / f"{name.replace('.', '_')}.pth")

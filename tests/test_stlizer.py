@@ -14,6 +14,8 @@ from nunif_tpu.stlizer.pipeline import (
     calc_scene_weight, gaussian_kernel1d, smooth1d, smooth_trajectory,
 )
 
+pytestmark = pytest.mark.slow
+
 
 class TestFindTransform:
     def test_recovers_shift_and_rotation(self):

@@ -8,6 +8,8 @@ import pytest
 from nunif_tpu.models import create_model
 import nunif_tpu.waifu2x  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("name,scale,offset,out_hw", [
     ("waifu2x.swin_unet_1x", 1, 8, 48),

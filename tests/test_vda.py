@@ -9,6 +9,8 @@ from nunif_tpu.iw3.depth.vda import (
     VideoDepthAnythingStreamingModel, align_scale_shift,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _tiny(num_frames=4):
     model = VideoDepthAnything(encoder="vits", num_frames=num_frames)

@@ -13,6 +13,8 @@ from nunif_tpu.models import create_model  # noqa: E402
 from nunif_tpu.models import torch_convert as tc  # noqa: E402
 import nunif_tpu.waifu2x  # noqa: F401,E402
 
+pytestmark = pytest.mark.slow
+
 
 def _torch_upconv7(in_channels=3, out_channels=3):
     return tnn.Sequential(

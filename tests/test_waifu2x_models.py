@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from nunif_tpu.models import create_model, get_model_names
 import nunif_tpu.waifu2x  # noqa: F401 — register
 
+pytestmark = pytest.mark.slow
+
 
 def _run(name, size, batch=1, **kwargs):
     m = create_model(name, **kwargs)

@@ -13,6 +13,8 @@ from nunif_tpu.utils.alpha import alpha_border_pad
 from nunif_tpu.waifu2x.runtime import Waifu2x
 import nunif_tpu.waifu2x  # noqa: F401
 
+pytestmark = pytest.mark.slow
+
 
 def test_tta_roundtrip_identity():
     rng = np.random.default_rng(0)

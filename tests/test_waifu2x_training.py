@@ -14,6 +14,8 @@ from nunif_tpu.waifu2x.training.generators import (
 )
 from nunif_tpu.waifu2x.training.dataset import Waifu2xDataset
 
+pytestmark = pytest.mark.slow
+
 
 class TestDegrade:
     def test_jpeg_quality_tables(self):

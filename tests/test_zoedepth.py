@@ -10,6 +10,8 @@ from nunif_tpu.iw3.depth.zoedepth import (
     zoe_preprocess_shape, inv_attractor,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_relative_position_index():
     idx = _relative_position_index(3, 3)
