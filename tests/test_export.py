@@ -1,7 +1,10 @@
 """StableHLO export artifacts + profiler hooks."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 
 
 def test_export_roundtrip(tmp_path):
@@ -72,3 +75,32 @@ def test_resolve_alias():
     import nunif_tpu.waifu2x.models  # noqa: F401
     assert resolve_alias("waifu2x.upconv_7") == "waifu2x.upconv_7"
     assert resolve_alias("nonexistent.model") == "nonexistent.model"
+
+
+def test_export_helper_ops_roundtrip(tmp_path):
+    """Reference onnx_helper_models.py equivalents as StableHLO programs."""
+    import numpy as np
+    from nunif_tpu.models.export import export_helper_ops, ExportedModel
+    from nunif_tpu.transforms.tta import tta_split, tta_merge
+    import jax.numpy as jnp
+
+    paths = export_helper_ops(str(tmp_path), tile_size=32)
+    assert len(paths) == 7
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(1, 32, 32, 3)).astype(np.float32)
+
+    split = ExportedModel(paths["tta_split"])
+    parts = np.asarray(split(x))
+    want = np.stack([np.asarray(p) for p in tta_split(jnp.asarray(x[0]))])
+    np.testing.assert_allclose(parts[:, 0], want, atol=1e-6)
+
+    merge = ExportedModel(paths["tta_merge"])
+    merged = np.asarray(merge(parts))
+    np.testing.assert_allclose(
+        merged[0], np.asarray(tta_merge(tuple(jnp.asarray(p) for p in want))),
+        atol=1e-6)
+
+    blend = ExportedModel(paths["seam_blend_filter"])
+    f = np.asarray(blend(np.ones((1, 1, 1, 1), np.float32)))
+    assert f.shape[1:3] == (32 * 2 - 16 * 2, 32 * 2 - 16 * 2)
+    assert f.max() <= 1.0 and f.min() > 0.0

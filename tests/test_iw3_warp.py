@@ -11,6 +11,8 @@ import torch.nn.functional as TF  # noqa: E402
 from nunif_tpu.modules.grid_sample import grid_sample, warp_x  # noqa: E402
 from nunif_tpu.modules.pool import max_pool2d, avg_pool2d  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _rand(shape, seed=0):
     return np.random.default_rng(seed).uniform(size=shape).astype(np.float32)

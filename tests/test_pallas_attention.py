@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from nunif_tpu.modules.attention import ShiftedWindowAttention
 from nunif_tpu.ops.swin_attention import fused_window_attention
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("shift", [0, 3])
 def test_kernel_matches_xla_path(shift):

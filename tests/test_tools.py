@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _png(path, h=96, w=128, seed=0):
     from PIL import Image
