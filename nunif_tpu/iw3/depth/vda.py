@@ -144,14 +144,20 @@ class TemporalModule(nn.Module):
         attn1 = TemporalAttention(self.dim, self.num_heads, name="attn1")
         attn2 = TemporalAttention(self.dim, self.num_heads, name="attn2")
         ff_norm = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="ff_norm")
-        ff1 = nn.Dense(self.dim * 4, dtype=x.dtype, name="ff_fc1")
-        ff2 = nn.Dense(self.dim, dtype=x.dtype, name="ff_fc2")
+        # GEGLU feed-forward (the published VDA motion module uses
+        # diffusers-style FeedForward(activation="geglu"))
+        ff1 = nn.Dense(self.dim * 8, dtype=x.dtype, name="ff_proj")
+        ff2 = nn.Dense(self.dim, dtype=x.dtype, name="ff_out")
+
+        def ff(t):
+            a, g = jnp.split(ff1(ff_norm(t)), 2, axis=-1)
+            return ff2(a * nn.gelu(g, approximate=False))
 
         if cache is None:
             pe = self._pe(T, x.dtype)[None]
             h = h + attn1(ln1(h) + pe, ln1(h) + pe)
             h = h + attn2(ln2(h) + pe, ln2(h) + pe)
-            h = h + ff2(nn.gelu(ff1(ff_norm(h)), approximate=False))
+            h = h + ff(h)
             new_cache = None
         else:
             # Ring buffers hold the *inputs* of each attention block for
@@ -178,7 +184,7 @@ class TemporalModule(nn.Module):
             h = h + attn1(ln1(h) + q_pe, ln1(ring1) + pe, mask=valid)
             ring2 = push(ring2, h)
             h = h + attn2(ln2(h) + q_pe, ln2(ring2) + pe, mask=valid)
-            h = h + ff2(nn.gelu(ff1(ff_norm(h)), approximate=False))
+            h = h + ff(h)
             new_cache = {"ring1": ring1, "ring2": ring2,
                          "n": jnp.minimum(n + 1, Tc)}
 

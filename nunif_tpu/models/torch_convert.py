@@ -120,6 +120,99 @@ def convert_depth_anything(sd, encoder: str):
     return {"pretrained": pre, "depth_head": head}
 
 
+def group_norm(sd, prefix):
+    return {"scale": _np(sd[prefix + ".weight"]),
+            "bias": _np(sd[prefix + ".bias"])}
+
+
+def _temporal_module(sd, prefix):
+    """VDA motion module (AnimateDiff temporal_transformer layout) ->
+    nunif_tpu.iw3.depth.vda.TemporalModule."""
+    tt = prefix + ".temporal_transformer"
+    tb = tt + ".transformer_blocks.0"
+    out = {
+        "norm": group_norm(sd, tt + ".norm"),
+        "proj_in": linear(sd, tt + ".proj_in"),
+        "proj_out": linear(sd, tt + ".proj_out"),
+        "ff_norm": layer_norm(sd, tb + ".ff_norm"),
+        "ff_proj": linear(sd, tb + ".ff.net.0.proj"),
+        "ff_out": linear(sd, tb + ".ff.net.2"),
+    }
+    for i in (0, 1):
+        a = f"{tb}.attention_blocks.{i}"
+        out[f"attn{i + 1}"] = {
+            "to_q": linear(sd, a + ".to_q"),
+            "to_k": linear(sd, a + ".to_k"),
+            "to_v": linear(sd, a + ".to_v"),
+            "to_out": linear(sd, a + ".to_out.0"),
+        }
+        out[f"attn{i + 1}_norm"] = layer_norm(sd, f"{tb}.norms.{i}")
+    return out
+
+
+def _dpt_scratch(sd, prefix="depth_head"):
+    """DPT scratch (layer_rn + refinenets + output convs) shared by
+    DA v1/v2 and VDA."""
+    head = {}
+    for i in range(1, 5):
+        head[f"layer{i}_rn"] = conv2d(sd, f"{prefix}.scratch.layer{i}_rn")
+        rf = f"{prefix}.scratch.refinenet{i}"
+        block = {
+            "resConfUnit2": {
+                "conv1": conv2d(sd, rf + ".resConfUnit2.conv1"),
+                "conv2": conv2d(sd, rf + ".resConfUnit2.conv2"),
+            },
+            "out_conv": conv2d(sd, rf + ".out_conv"),
+        }
+        if i != 4:
+            block["resConfUnit1"] = {
+                "conv1": conv2d(sd, rf + ".resConfUnit1.conv1"),
+                "conv2": conv2d(sd, rf + ".resConfUnit1.conv2"),
+            }
+        head[f"refinenet{i}"] = block
+    head["output_conv1"] = conv2d(sd, f"{prefix}.scratch.output_conv1")
+    head["output_conv2_0"] = conv2d(sd, f"{prefix}.scratch.output_conv2.0")
+    head["output_conv2_2"] = conv2d(sd, f"{prefix}.scratch.output_conv2.2")
+    return head
+
+
+def convert_vda(sd, encoder: str = "vits"):
+    """Map a Video-Depth-Anything torch state_dict (DINOv2 trunk +
+    DPTHeadTemporal with AnimateDiff motion modules) to the flax tree of
+    nunif_tpu.iw3.depth.vda.VideoDepthAnything."""
+    from ..iw3.depth.dinov2 import VIT_CONFIGS
+    depth = VIT_CONFIGS[encoder]["depth"]
+
+    pre = {
+        "cls_token": raw(sd, "pretrained.cls_token"),
+        "pos_embed": raw(sd, "pretrained.pos_embed"),
+        "patch_embed": conv2d(sd, "pretrained.patch_embed.proj"),
+        "norm": layer_norm(sd, "pretrained.norm"),
+    }
+    for i in range(depth):
+        b = f"pretrained.blocks.{i}"
+        pre[f"blocks_{i}"] = {
+            "norm1": layer_norm(sd, b + ".norm1"),
+            "attn": {"qkv": linear(sd, b + ".attn.qkv"),
+                     "proj": linear(sd, b + ".attn.proj")},
+            "ls1": {"gamma": raw(sd, b + ".ls1.gamma")},
+            "norm2": layer_norm(sd, b + ".norm2"),
+            "mlp_fc1": linear(sd, b + ".mlp.fc1"),
+            "mlp_fc2": linear(sd, b + ".mlp.fc2"),
+            "ls2": {"gamma": raw(sd, b + ".ls2.gamma")},
+        }
+
+    head = _dpt_scratch(sd, "head")
+    for i in range(4):
+        head[f"projects_{i}"] = conv2d(sd, f"head.projects.{i}")
+        head[f"motion_modules_{i}"] = _temporal_module(
+            sd, f"head.motion_modules.{i}")
+    head["resize_0"] = conv_transpose2d(sd, "head.resize_layers.0")
+    head["resize_1"] = conv_transpose2d(sd, "head.resize_layers.1")
+    head["resize_3"] = conv2d(sd, "head.resize_layers.3")
+    return {"pretrained": pre, "head": head}
+
+
 def convert_swin_unet(sd, base_dim: int = 96, base_layers: int = 2,
                       scale_factor: int = 2):
     """Map a reference waifu2x swin_unet .pth state_dict

@@ -176,6 +176,20 @@ def fused_window_attention(qkv, bias, *, num_heads, window, shift,
 # MLP matmul round trips — profiled together at ~40% of non-attention
 # frame time for swin_unet_2x at 1080p.
 
+def _erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 erf (|err| < 1.5e-7) — Mosaic has no erf
+    primitive; this keeps the kernel's gelu numerically 'exact' at bf16
+    activation resolution."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
                   *, num_heads, head_dim, n_tokens, window, shift,
@@ -244,8 +258,8 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         y1, wfc1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     h1 = h1 + bfc1_ref[:][None].astype(jnp.float32)
-    # exact gelu (torchvision MLP uses erf-gelu)
-    h1 = 0.5 * h1 * (1.0 + jax.lax.erf(h1 * 0.7071067811865476))
+    # erf-gelu (torchvision MLP); polynomial erf, see _erf_poly
+    h1 = 0.5 * h1 * (1.0 + _erf_poly(h1 * 0.7071067811865476))
     h1 = h1.astype(x.dtype)
     h2 = jax.lax.dot_general(
         h1, wfc2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),

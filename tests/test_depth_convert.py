@@ -1,0 +1,112 @@
+"""torch->flax conversion of depth backbones: Depth-Anything v2 full
+numeric parity and the VDA temporal motion module / temporal head."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from nunif_tpu.models import torch_convert as tc  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+def test_depth_anything_v2_numeric_parity():
+    """Full DINOv2-S + DPT head forward at the native 37x37 pos-embed grid
+    (reference consumes this arch via torch.hub, iw3/depth_anything_model
+    .py:196-226)."""
+    from torchref.dinovit import DepthAnythingV2 as TorchDA
+    from nunif_tpu.models import create_model
+    import nunif_tpu.iw3  # noqa: F401
+
+    torch.manual_seed(20)
+    tm = TorchDA().eval()
+    params = tc.convert_depth_anything(tm.state_dict(), "vits")
+
+    model = create_model("iw3.depth_anything", encoder="vits")
+    ref = model.init_params(jax.random.PRNGKey(0), (1, 518, 518, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    rng = np.random.default_rng(20)
+    x = rng.normal(0, 1, size=(1, 3, 518, 518)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # (1, 1, H, W)
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got[..., 0], want[:, 0], atol=5e-4,
+                               rtol=1e-3)
+
+
+def test_vda_temporal_module_numeric_parity():
+    """AnimateDiff-style motion module: GroupNorm -> proj_in -> 2x
+    (PE + temporal attention) -> GEGLU FF -> zero-init proj_out."""
+    from torchref.dinovit import TemporalModule as TorchTM
+    from nunif_tpu.iw3.depth.vda import TemporalModule
+
+    torch.manual_seed(21)
+    tm = TorchTM(64, num_heads=8, max_len=32).eval()
+    # zero-init proj_out hides bugs; randomize
+    with torch.no_grad():
+        tm.temporal_transformer.proj_out.weight.normal_(std=0.05)
+    params = tc._temporal_module(
+        {"m." + k: v for k, v in tm.state_dict().items()}, "m")
+
+    fm = TemporalModule(64, num_heads=8, max_len=32)
+    rng = np.random.default_rng(21)
+    x = rng.normal(0, 1, size=(2, 6, 64, 8, 10)).astype(np.float32)
+    # torch (B, T, C, H, W) -> flax (B, T, H, W, C)
+    xf = jnp.asarray(x.transpose(0, 1, 3, 4, 2))
+    ref = fm.init(jax.random.PRNGKey(0), xf)["params"]
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(fm.apply({"params": params}, xf))
+    np.testing.assert_allclose(got.transpose(0, 1, 4, 2, 3), want,
+                               atol=3e-5)
+
+
+def test_convert_vda_structure():
+    """Full VDA tree structure from a synthetic official-layout state
+    dict (ViT-S config)."""
+    from torchref.dinovit import (DinoVisionTransformer, TemporalModule,
+                                  DPTHead)
+    from nunif_tpu.iw3.depth.vda import VideoDepthAnything
+
+    torch.manual_seed(22)
+
+    class TorchVDAShell(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pretrained = DinoVisionTransformer()
+            head = DPTHead(384, 64, (48, 96, 192, 384))
+            # VDA head layout: same pieces, prefix "head", plus motion
+            self.head = head
+            self.head.motion_modules = torch.nn.ModuleList([
+                TemporalModule(192, max_len=32),
+                TemporalModule(384, max_len=32),
+                TemporalModule(64, max_len=32),
+                TemporalModule(64, max_len=32)])
+
+    tm = TorchVDAShell()
+    sd = tm.state_dict()
+    params = tc.convert_vda(sd, "vits")
+
+    model = VideoDepthAnything(encoder="vits", num_frames=32)
+    x = jnp.zeros((1, 2, 56, 56, 3), jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
