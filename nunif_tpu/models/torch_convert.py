@@ -213,6 +213,13 @@ def convert_vda(sd, encoder: str = "vits"):
     return {"pretrained": pre, "head": head}
 
 
+def convert_da3mono_disparity(sd):
+    """reference iw3/models/da3mono_disparity.py:13-26 (3-layer MLP)."""
+    return {"mlp_0": linear(sd, "mlp.0"),
+            "mlp_2": linear(sd, "mlp.2"),
+            "mlp_4": linear(sd, "mlp.4")}
+
+
 def convert_swin_unet(sd, base_dim: int = 96, base_layers: int = 2,
                       scale_factor: int = 2):
     """Map a reference waifu2x swin_unet .pth state_dict

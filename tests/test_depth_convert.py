@@ -110,3 +110,46 @@ def test_convert_vda_structure():
     got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
                jax.tree_util.tree_flatten_with_path(params)[0]}
     assert ref_map == got_map
+
+
+def test_da3mono_disparity_numeric_parity():
+    """Quantile-feature MLP depth->disparity (reference
+    iw3/models/da3mono_disparity.py:13-80)."""
+    import torch.nn as tnn
+    from nunif_tpu.models import create_model
+    import nunif_tpu.iw3  # noqa: F401
+
+    class TorchDA3Mono(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.mlp = tnn.Sequential(
+                tnn.Linear(64, 128), tnn.SiLU(),
+                tnn.Linear(128, 128), tnn.SiLU(),
+                tnn.Linear(128, 2), tnn.ReLU())
+
+        def forward(self, depth):
+            B = depth.shape[0]
+            flat, _ = torch.sort(depth.reshape(B, -1), dim=-1)
+            n = flat.shape[-1]
+            idx = torch.linspace(1, n - 2, 62).long()
+            feats = torch.cat([flat[:, :1], flat[:, idx], flat[:, -1:]],
+                              dim=-1)
+            h = self.mlp(feats)
+            shift = h[:, 0].reshape(-1, 1, 1, 1)
+            sky = h[:, 1].reshape(-1, 1, 1, 1)
+            mx = depth.amax(dim=(1, 2, 3), keepdim=True)
+            depth = torch.where(depth == mx, depth + sky, depth)
+            return 1.0 / (depth + shift)
+
+    torch.manual_seed(23)
+    tm = TorchDA3Mono().eval()
+    params = tc.convert_da3mono_disparity(tm.state_dict())
+    model = create_model("iw3.da3mono_disparity")
+
+    rng = np.random.default_rng(23)
+    x = (rng.uniform(0.5, 50.0, size=(2, 1, 40, 56))).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=2e-5)
