@@ -152,6 +152,10 @@ def create_parser():
                    help="run the scene-detection pass and exit")
     p.add_argument("--debug-depth", action="store_true",
                    help="output the normalized depth instead of stereo")
+    p.add_argument("--depth-aa", action="store_true",
+                   help="apply the DepthAA anti-aliasing net to depth maps")
+    p.add_argument("--depth-aa-checkpoint", default=None,
+                   help="iw3.depth_aa checkpoint (.nztm/.pth)")
     p.add_argument("--export-disparity", action="store_true",
                    help="export the mapper-applied disparity instead of "
                         "raw depth (implies --export)")
@@ -348,6 +352,18 @@ def main(argv=None):
     depth_model.load(resolution=args.resolution,
                      checkpoint=args.depth_checkpoint,
                      limit_resolution=args.limit_resolution)
+    if args.depth_aa:
+        import jax as _jax
+        from .models.depth_aa import DepthAA
+        if args.depth_aa_checkpoint:
+            from ..models.io import load_model as _load_model
+            aa_model, aa_params, _ = _load_model(args.depth_aa_checkpoint)
+        else:
+            aa_model = DepthAA()
+            aa_params = aa_model.init_params(_jax.random.PRNGKey(0),
+                                             (1, 64, 64, 1))
+            logger.warning("depth-aa: no checkpoint given; random init")
+        depth_model.set_depth_aa(aa_model, aa_params)
     if args.export or args.export_disparity:
         return export_main(args, cfg, depth_model)
     side_model, side_params = create_stereo_model(

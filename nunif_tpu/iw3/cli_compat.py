@@ -55,8 +55,6 @@ NOT_APPLICABLE = {
     "convergence-mode": "sod_v1 convergence estimation is exposed via "
                         "convergence_estimator.py API; CLI flag pending "
                         "sod_v1 pretrained weights",
-    "depth-aa": "DepthAA filtering is exposed via models/depth_aa.py "
-                "(depth_aa_infer); CLI toggle pending pretrained weights",
     "inpaint-model": "inpaint model selection is part of --method "
                      "(forward_inpaint / mlbw_l2_inpaint[_video])",
     "mapper-type": "superseded by --mapper which accepts every mapper "

@@ -66,6 +66,17 @@ class BaseDepthModel(metaclass=ABCMeta):
     def infer(self, x, **kwargs):
         ...
 
+    # --- DepthAA post-filter (reference iw3 --depth-aa) ---
+    def set_depth_aa(self, model, params):
+        self._depth_aa = (model, params)
+
+    def apply_depth_aa(self, depth):
+        if getattr(self, "_depth_aa", None) is None:
+            return depth
+        from ..models.depth_aa import depth_aa_infer
+        m, p = self._depth_aa
+        return depth_aa_infer(m, p, depth)
+
     # --- EMA normalization hooks (reference :154-196) ---
     def enable_ema(self, decay, buffer_size=None):
         self.scaler.reset(decay=decay, buffer_size=buffer_size)

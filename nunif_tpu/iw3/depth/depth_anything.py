@@ -180,6 +180,8 @@ class DepthAnythingModel(BaseDepthModel):
             limit_resolution=self.limit_resolution)
         out = self._jitted_forward(out_h, out_w, bool(tta))(self.params, x)
 
+        if depth_aa or getattr(self, "_depth_aa", None) is not None:
+            out = self.apply_depth_aa(out)
         if edge_dilation_is_enabled(edge_dilation):
             if not self.metric_depth:
                 out = dilate_edge(out, edge_dilation)

@@ -275,7 +275,7 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                      "block_windows", "interpret"))
 def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
                      bias, *, num_heads, window, shift, n_wh, n_ww,
-                     block_windows=48, interpret=False):
+                     block_windows=32, interpret=False):
     """Whole swin block (norm='none') on pre-partitioned windows.
 
     x: (nw, N, C) tokens; weights in (in, out) layout; bias (heads, N, N)
