@@ -131,6 +131,8 @@ def apply_divergence_grid_sample(c, depth, divergence, convergence,
 
     base_size = max(H, W)
     shift_size = divergence * 0.01
+    if getattr(convergence, "ndim", 0):  # per-frame (B,) convergence
+        convergence = jnp.reshape(convergence, (-1, 1, 1))
     index_shift = depth[..., 0] * shift_size - shift_size * convergence
     # reference: delta in [-1,1] units scaled by base_size/W
     delta_px = index_shift * (base_size / W) * ((W - 1) / 2.0)

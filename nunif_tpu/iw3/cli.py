@@ -152,6 +152,12 @@ def create_parser():
                    help="run the scene-detection pass and exit")
     p.add_argument("--debug-depth", action="store_true",
                    help="output the normalized depth instead of stereo")
+    p.add_argument("--convergence-mode", default="constant",
+                   choices=["constant", "sod_v1"],
+                   help="sod_v1: saliency-driven per-frame convergence")
+    p.add_argument("--sod-checkpoint", default=None,
+                   help="iw3.sod_v1 checkpoint for --convergence-mode "
+                        "sod_v1 (.nztm/.pth)")
     p.add_argument("--depth-aa", action="store_true",
                    help="apply the DepthAA anti-aliasing net to depth maps")
     p.add_argument("--depth-aa-checkpoint", default=None,
@@ -426,7 +432,9 @@ def main(argv=None):
                 scene_cache_disable=args.disable_scene_cache,
                 autocrop=args.autocrop, autocrop_mode=args.autocrop_mode,
                 start_time=args.start_time, end_time=args.end_time,
-                debug_depth=args.debug_depth)
+                debug_depth=args.debug_depth,
+                convergence_mode=args.convergence_mode,
+                sod_checkpoint=args.sod_checkpoint)
         except Exception as e:
             if not args.skip_error:
                 raise

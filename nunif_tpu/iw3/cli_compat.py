@@ -52,9 +52,6 @@ NOT_APPLICABLE = {
     "export-depth-fit": "fits export depth size to a model grid for "
                         "re-import into the reference trainer; the export "
                         "format here is always full-resolution 16-bit",
-    "convergence-mode": "sod_v1 convergence estimation is exposed via "
-                        "convergence_estimator.py API; CLI flag pending "
-                        "sod_v1 pretrained weights",
     "inpaint-model": "inpaint model selection is part of --method "
                      "(forward_inpaint / mlbw_l2_inpaint[_video])",
     "mapper-type": "superseded by --mapper which accepts every mapper "

@@ -72,10 +72,15 @@ def preprocess_image(x, cfg: StereoConfig):
 
 
 def apply_divergence(depth, im, cfg: StereoConfig, side_model=None,
-                     side_params=None, metric_depth: bool = False):
-    """reference iw3/utils.py:292-391.  depth (B,H,W,1), im (B,H,W,3)."""
+                     side_params=None, metric_depth: bool = False,
+                     convergence=None):
+    """reference iw3/utils.py:292-391.  depth (B,H,W,1), im (B,H,W,3).
+
+    ``convergence``: optional per-frame (B,) override from the saliency
+    ConvergenceEstimator (reference --convergence-mode sod_v1)."""
     mapper_fn = get_mapper(cfg.resolved_mapper(metric_depth))
-    convergence = cfg.convergence
+    if convergence is None:
+        convergence = cfg.convergence
     depth = mapper_fn(depth)
 
     if cfg.method == "NULL":

@@ -22,7 +22,7 @@ class Iw3FrameProcessor:
     def __init__(self, cfg: StereoConfig, depth_model, side_model=None,
                  side_params=None, tta=False, edge_dilation=0,
                  scene_boundaries=None, crop=None, mesh=None,
-                 debug_depth=False):
+                 debug_depth=False, convergence_estimator=None):
         self.cfg = cfg
         self.depth_model = depth_model
         self.side_model = side_model
@@ -42,6 +42,10 @@ class Iw3FrameProcessor:
         # nunif/utils/video.py:1645,1695)
         self.mesh = mesh
         self.debug_depth = debug_depth
+        # saliency-driven per-frame convergence (reference
+        # --convergence-mode sod_v1, iw3/convergence_estimator.py)
+        self.convergence_estimator = convergence_estimator
+        self._sal_prep_jit = None
         self._frame_idx = 0
         self._rgb_queue = []
         self._compose_jit = None
@@ -61,7 +65,7 @@ class Iw3FrameProcessor:
                  for i in range(batch_len)]
         return flags if any(flags) else [False] * batch_len
 
-    def _compose_impl(self, depth, im):
+    def _compose_impl(self, depth, im, convergence=None):
         if self.debug_depth:
             # normalized depth visualization (reference --debug-depth)
             from ..modules.resize import resize
@@ -77,7 +81,8 @@ class Iw3FrameProcessor:
                                     mode="bilinear", antialias=False), 0, 1)
         left, right = apply_divergence(
             depth, im, self.cfg, self.side_model, self.side_params,
-            metric_depth=self.depth_model.is_metric())
+            metric_depth=self.depth_model.is_metric(),
+            convergence=convergence)
         return postprocess_image(left, right, self.cfg.format)
 
     def _compose(self, depths, rgbs):
@@ -126,10 +131,29 @@ class Iw3FrameProcessor:
             scaler = self.depth_model.scaler
             consts = scaler.update_values(np.asarray(stats),
                                           reset_flags=reset_flags)
-            return self._compose_normalized(
-                depth, x,
-                jnp.asarray(consts[:, 0], jnp.float32),
-                jnp.asarray(consts[:, 1], jnp.float32))
+            mins = jnp.asarray(consts[:, 0], jnp.float32)
+            maxs = jnp.asarray(consts[:, 1], jnp.float32)
+            convergence = None
+            if self.convergence_estimator is not None:
+                if self._sal_prep_jit is None:
+                    import jax
+                    from ..modules.resize import resize as _resize
+                    norm = self.depth_model.scaler.normalize
+                    size = 192
+
+                    def sal_prep(d, im, mn, mx):
+                        dn = norm(d, mn[:, None, None, None],
+                                  mx[:, None, None, None])
+                        return (_resize(im, size, size, mode="bilinear",
+                                        antialias=False),
+                                _resize(dn, size, size, mode="bilinear",
+                                        antialias=False))
+                    self._sal_prep_jit = jax.jit(sal_prep)
+                rgb_s, dep_s = self._sal_prep_jit(depth, x, mins, maxs)
+                convergence = self.convergence_estimator(
+                    rgb_s, dep_s, reset_pts=reset_flags)
+            return self._compose_normalized(depth, x, mins, maxs,
+                                            convergence)
         x = self._prep_jit(jnp.asarray(batch_u8))
         self._rgb_queue.extend(list(x))
         if hasattr(self.depth_model, "infer_with_normalize"):
@@ -147,17 +171,21 @@ class Iw3FrameProcessor:
         del self._rgb_queue[:len(normalized)]
         return self._compose(normalized, rgbs)
 
-    def _compose_normalized(self, depth, im, mins, maxs):
+    def _compose_normalized(self, depth, im, mins, maxs, convergence=None):
         if self._compose_norm_jit is None:
             import jax
             norm = self.depth_model.scaler.normalize
 
-            def fn(depth, im, mins, maxs):
+            def fn(depth, im, mins, maxs, convergence):
                 d = norm(depth, mins[:, None, None, None],
                          maxs[:, None, None, None])
-                return self._compose_impl(d, im)
-            self._compose_norm_jit = jax.jit(fn)
-        return self._compose_norm_jit(depth, im, mins, maxs)
+                return self._compose_impl(d, im, convergence)
+            self._compose_norm_jit = jax.jit(fn, static_argnames=())
+            self._compose_norm_nc_jit = jax.jit(
+                lambda depth, im, mins, maxs: fn(depth, im, mins, maxs, None))
+        if convergence is None:
+            return self._compose_norm_nc_jit(depth, im, mins, maxs)
+        return self._compose_norm_jit(depth, im, mins, maxs, convergence)
 
     def flush(self):
         if hasattr(self.depth_model, "flush_with_normalize"):
@@ -184,7 +212,8 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                        autocrop=False, autocrop_mode="black",
                        start_time=None, end_time=None,
                        stop_event=None, suspend_event=None, mesh=None,
-                       debug_depth=False):
+                       debug_depth=False, convergence_mode="constant",
+                       sod_checkpoint=None):
     """reference iw3/utils.py:974-1170 (video path, software encoders).
 
     scene_detect: TransNetV2/histogram pre-pass with on-disk cache; the EMA
@@ -221,10 +250,21 @@ def process_video_full(input_path: str, output_path: str, cfg: StereoConfig,
                                                     mode=autocrop_mode)
         if slice_tb != slice(None) or slice_lr != slice(None):
             crop = (slice_tb, slice_lr)
+    estimator = None
+    if convergence_mode == "sod_v1":
+        from .convergence_estimator import ConvergenceEstimator
+        sod_model = sod_params = None
+        if sod_checkpoint:
+            from ..models.io import load_model as _load_model
+            sod_model, sod_params, _ = _load_model(sod_checkpoint)
+        estimator = ConvergenceEstimator(
+            cfg.convergence, sod_model=sod_model, sod_params=sod_params,
+            enable_ema=True)
     proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params,
                              tta=tta, edge_dilation=edge_dilation,
                              scene_boundaries=scene_boundaries, crop=crop,
-                             mesh=mesh, debug_depth=debug_depth)
+                             mesh=mesh, debug_depth=debug_depth,
+                             convergence_estimator=estimator)
     _process_video(input_path, output_path, proc, batch_size=batch_size,
                    config=video_config, flush_callback=proc.flush,
                    start_time=start_time, end_time=end_time,

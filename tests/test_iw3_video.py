@@ -325,3 +325,26 @@ class TestSkipError:
         finally:
             depth_pkg.create_depth_model = orig_create
         assert rc == 0
+
+
+class TestConvergenceMode:
+    def test_sod_v1_convergence_video(self, tmp_path, depth_model):
+        """--convergence-mode sod_v1: per-frame saliency convergence
+        drives the warp end-to-end (reference iw3/convergence_estimator
+        .py)."""
+        from nunif_tpu.iw3.pipeline import StereoConfig
+        from nunif_tpu.iw3.composition import StereoFormat
+        from nunif_tpu.iw3.video import process_video_full
+        from nunif_tpu.video import backend
+
+        src = _make_video(str(tmp_path / "conv_in.mp4"), n=8)
+        dst = str(tmp_path / "conv_out.mp4")
+        cfg = StereoConfig(method="grid_sample", divergence=2.0,
+                           convergence=0.5,
+                           format=StereoFormat.from_name("half_sbs"))
+        process_video_full(src, dst, cfg, depth_model, batch_size=4,
+                           convergence_mode="sod_v1")
+        r = backend.VideoReader(dst)
+        n = sum(1 for _ in r)
+        r.close()
+        assert n == 8
