@@ -72,7 +72,49 @@ def create_parser():
     p.add_argument("--max-fps", type=float, default=128.0)
     p.add_argument("--video-batch", type=int, default=4,
                    help="frames per device batch for video")
+    p.add_argument("--style", default=None,
+                   choices=["art", "photo", "scan", "art_scan"],
+                   help="model style; selects <model-dir>/<style> when "
+                        "that subdirectory exists")
+    p.add_argument("--depth", type=int, default=8, choices=[8, 16],
+                   help="output bit depth (16 = 16-bit PNG / rgb48 video)")
+    p.add_argument("--rotate-left", action="store_true",
+                   help="rotate 90 CCW before processing (video)")
+    p.add_argument("--rotate-right", action="store_true",
+                   help="rotate 90 CW before processing (video)")
+    p.add_argument("--grain", action="store_true",
+                   help="add film grain after denoising")
+    p.add_argument("--grain-strength", type=float, default=0.2)
+    p.add_argument("--grain-speed", type=float, default=0.8,
+                   help="noise update speed (video)")
+    p.add_argument("--start-time", default=None,
+                   help="video trim start (seconds or hh:mm:ss)")
+    p.add_argument("--end-time", default=None,
+                   help="video trim end (seconds or hh:mm:ss)")
+    p.add_argument("--yes", "-y", action="store_true",
+                   help="overwrite existing video outputs")
+    p.add_argument("--video-format", "-vf", default="mp4",
+                   choices=["mp4", "mkv", "avi"])
+    p.add_argument("--video-bitrate", default=None)
+    p.add_argument("--tune", nargs="+", default=[])
+    p.add_argument("--profile-level", default=None)
+    p.add_argument("--colorspace", default="auto",
+                   choices=["auto", "bt709", "unspecified"])
     return p
+
+
+def parse_time(v):
+    """seconds float or [hh:]mm:ss (reference --start-time format)."""
+    if v is None:
+        return None
+    s = str(v)
+    if ":" not in s:
+        return float(s)
+    parts = [float(p) for p in s.split(":")]
+    t = 0.0
+    for p in parts:
+        t = t * 60.0 + p
+    return t
 
 
 def _iter_inputs(args):
@@ -104,7 +146,13 @@ def _output_path(args, in_path):
 
 
 def _build_runtime(args) -> Waifu2x:
-    w2x = Waifu2x(model_dir=args.model_dir or "")
+    model_dir = args.model_dir or ""
+    if model_dir and args.style:
+        # reference selects the style sub-directory of the model zoo
+        styled = os.path.join(model_dir, args.style)
+        if os.path.isdir(styled):
+            model_dir = styled
+    w2x = Waifu2x(model_dir=model_dir)
     if args.arch:
         import jax
         from ..models import create_model
@@ -135,9 +183,20 @@ def process_images(args, w2x: Waifu2x):
         rgb, out_alpha = w2x.convert(
             x, alpha, method=args.method, noise_level=args.noise_level,
             tile_size=args.tile_size, batch_size=args.batch_size, tta=args.tta)
+        if args.grain:
+            import jax
+            from ..utils.rgb_noise import rgb_noise_like, apply_rgb_noise
+            import jax.numpy as jnp
+            key = jax.random.PRNGKey(n)
+            noise = rgb_noise_like(key, jnp.asarray(rgb))
+            # image grain uses half strength (reference ui_utils.py:58-61)
+            rgb = apply_rgb_noise(jnp.asarray(rgb), noise,
+                                  strength=args.grain_strength * 0.5)
         rgb = np.asarray(rgb)
         if out_alpha is not None:
             rgb = np.concatenate([rgb, np.asarray(out_alpha)], axis=-1)
+        if args.depth == 16 and args.format == "png":
+            rgb = (np.clip(rgb, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
         kwargs = {}
         if args.format in ("jpeg", "webp"):
             kwargs["quality"] = args.quality
@@ -154,24 +213,54 @@ def process_images(args, w2x: Waifu2x):
 
 def process_video(args, w2x: Waifu2x):
     from .. import video as VU
+    import jax
+    import jax.numpy as jnp
+    from ..utils.rgb_noise import rgb_noise_like, apply_rgb_noise
+
+    if os.path.exists(args.output) and not (args.yes or args.resume):
+        logger.warning("output exists (use --yes to overwrite): %s",
+                       args.output)
+        return
+    grain_state = {"key": jax.random.PRNGKey(0), "buffer": None}
 
     def frame_fn(frames):
         # frames: (N, H, W, 3) uint8 -> device float, upscale per frame,
         # return device array (writer thread forces readiness)
+        if args.rotate_left:
+            frames = np.rot90(frames, 1, axes=(1, 2)).copy()
+        elif args.rotate_right:
+            frames = np.rot90(frames, 3, axes=(1, 2)).copy()
         x = frames.astype(np.float32) / 255.0
         outs = [w2x.convert(f, None, method=args.method,
                             noise_level=args.noise_level,
                             tile_size=args.tile_size,
                             batch_size=args.batch_size, tta=args.tta)[0]
                 for f in x]
-        import jax.numpy as jnp
-        return jnp.stack(outs)
+        out = jnp.stack(outs)
+        if args.grain:
+            # EMA noise buffer (reference ui_utils.py:167-175)
+            grain_state["key"], k = jax.random.split(grain_state["key"])
+            noise = rgb_noise_like(k, out[0])
+            if grain_state["buffer"] is None:
+                grain_state["buffer"] = noise
+            else:
+                grain_state["buffer"] = (
+                    grain_state["buffer"] * (1.0 - args.grain_speed)
+                    + noise * args.grain_speed)
+            out = apply_rgb_noise(out, grain_state["buffer"][None],
+                                  strength=args.grain_strength)
+        return out
 
     config = VU.VideoOutputConfig(
         codec=args.video_codec, crf=args.crf, preset=args.preset,
-        pix_fmt=args.pix_fmt, max_fps=args.max_fps)
+        pix_fmt=args.pix_fmt, max_fps=args.max_fps,
+        rgb48=args.depth == 16,
+        bitrate=args.video_bitrate, tune=tuple(args.tune),
+        profile_level=args.profile_level)
     VU.process_video(args.input, args.output, frame_fn,
-                     batch_size=args.video_batch, config=config)
+                     batch_size=args.video_batch, config=config,
+                     start_time=parse_time(args.start_time),
+                     end_time=parse_time(args.end_time))
 
 
 def main(argv=None):

@@ -74,3 +74,23 @@ def test_encoder_opts_applied(tmp_path):
     n = sum(1 for _ in r)
     r.close()
     assert n == 24
+
+
+def test_waifu2x_reference_flag_coverage():
+    from nunif_tpu.waifu2x.cli import create_parser
+    from nunif_tpu.waifu2x.cli_compat import (
+        REFERENCE_WAIFU2X_FLAGS, NOT_APPLICABLE, RENAMED)
+
+    ours = _parser_flags(create_parser())
+    missing = [f for f in REFERENCE_WAIFU2X_FLAGS
+               if f not in ours and f not in NOT_APPLICABLE
+               and RENAMED.get(f) not in ours]
+    assert not missing, f"unhandled reference flags: {missing}"
+
+
+def test_waifu2x_parse_time():
+    from nunif_tpu.waifu2x.cli import parse_time
+    assert parse_time(None) is None
+    assert parse_time("90") == 90.0
+    assert parse_time("1:30") == 90.0
+    assert parse_time("01:02:03") == 3723.0
