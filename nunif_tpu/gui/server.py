@@ -215,11 +215,19 @@ class GuiService:
         dm = self.iw3_runtime(fields.get("depth_model", "Any_V2_S"))
         side_model, side_params = create_stereo_model(cfg.method)
         from ..video import VideoOutputConfig
+
+        def truthy(name):
+            return str(fields.get(name, "")).lower() in ("1", "true", "on",
+                                                         "yes")
         process_video_full(
             src, dst, cfg, dm, side_model=side_model,
             side_params=side_params,
             video_config=VideoOutputConfig(
-                max_fps=float(fields.get("max_fps", 30.0))))
+                max_fps=float(fields.get("max_fps", 30.0))),
+            ema_normalize=truthy("ema_normalize"),
+            scene_detect=truthy("scene_detect"),
+            autocrop=truthy("autocrop"),
+            convergence_mode=fields.get("convergence_mode", "constant"))
         job.content_type = "application/json"
         job.filename = "result.json"
         return json.dumps({"output_path": dst}).encode()
@@ -291,6 +299,12 @@ progress{{width:100%}} .row{{margin:.4em 0}}
 <div class="row"><label>{tr('Stereo Format')}</label><select name="stereo_format">
 <option>half_sbs</option><option>sbs</option><option>tb</option></select></div>
 <div class="row"><label>{tr('Max FPS')}</label><input name="max_fps" value="30" size="5"></div>
+<div class="row"><label>{tr('Flicker Reduction')}</label><input type="checkbox" name="ema_normalize" value="1"></div>
+<div class="row"><label>{tr('Scene Detection')}</label><input type="checkbox" name="scene_detect" value="1"></div>
+<div class="row"><label>{tr('Auto Crop')}</label><input type="checkbox" name="autocrop" value="1"></div>
+<div class="row"><label>{tr('Convergence Mode')}</label>
+<select name="convergence_mode"><option value="constant">constant</option>
+<option value="sod_v1">sod_v1</option></select></div>
 <button>{tr('Start')}</button></form></fieldset>
 <fieldset><legend>stlizer ({tr('Input')}/{tr('Output')} = server paths)</legend>
 <form id="stlizer">

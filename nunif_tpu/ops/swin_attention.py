@@ -275,7 +275,7 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                      "block_windows", "interpret"))
 def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
                      bias, *, num_heads, window, shift, n_wh, n_ww,
-                     block_windows=32, interpret=False):
+                     block_windows=None, interpret=False):
     """Whole swin block (norm='none') on pre-partitioned windows.
 
     x: (nw, N, C) tokens; weights in (in, out) layout; bias (heads, N, N)
@@ -285,6 +285,11 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     head_dim = C // num_heads
     assert N == window * window
 
+    if block_windows is None:
+        # default sized for the 16MB scoped-vmem limit; NUNIF_TPU_SWIN_BW
+        # overrides for experiments with --xla_tpu_scoped_vmem_limit_kib
+        import os as _os
+        block_windows = int(_os.environ.get("NUNIF_TPU_SWIN_BW", "32"))
     bw = min(block_windows, nw)
     while nw % bw:
         bw -= 1
@@ -322,6 +327,10 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         out_specs=pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nw, N, C), dt),
+        # big blocks amortize per-grid-step overhead; raise the Mosaic
+        # scoped-vmem budget accordingly (v5e has 128MB VMEM)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
       wargs[3], bargs[3], bias)
