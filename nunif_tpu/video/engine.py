@@ -97,6 +97,11 @@ class FixedFPSRetimer:
             self.last_pts = pts if pts >= 0 else 0.0
             return out
         t = pts if pts >= 0 else self.last_pts + 1.0 / float(self.out_fps)
+        if t <= self.last_pts:
+            # VFR pts sanitization: non-monotonic/duplicate timestamps are
+            # clamped forward by one output tick (the libavfilter fps=
+            # graph the reference uses drops such frames similarly)
+            t = self.last_pts + 1.0 / float(self.out_fps)
         while self.tick / self.out_fps < t:
             out.append(self.last_frame)
             self.tick += 1

@@ -301,3 +301,17 @@ class TestRobustness:
         # np.rot90 CCW moves the top stripe to the left column band
         assert frame[:, :8, 0].mean() > 200
         r.close()
+
+
+def test_retimer_vfr_pts_sanitization():
+    """Non-monotonic VFR pts must not stall or burst the retimer."""
+    from fractions import Fraction
+    from nunif_tpu.video import FixedFPSRetimer
+    r = FixedFPSRetimer(Fraction(10))
+    out = []
+    # pts goes backwards at frame 3 and repeats at frame 4
+    for i, pts in enumerate([0.0, 0.1, 0.2, 0.05, 0.05, 0.4, 0.5]):
+        out.extend(r(f"f{i}", pts))
+    out.extend(r.flush())
+    # monotonic output, no giant duplicate bursts
+    assert 5 <= len(out) <= 8, out
