@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
+
+# persistent compile cache: repeat benches of unchanged programs skip the
+# (minutes-long) remote TPU compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 
 

@@ -127,10 +127,12 @@ class ConditionalLogBinomial(nn.Module):
         h = nn.Conv(4, (1, 1), padding="VALID", dtype=x.dtype,
                     name="mlp_conv2")(h)
         h = jax.nn.softplus(h.astype(jnp.float32))
-        p = h[..., 0] / (h[..., 0] + h[..., 1] + 1e-8)
-        t = h[..., 2] / (h[..., 2] + h[..., 3] + 1e-8)
-        p = jnp.clip(p, self.p_eps, 1.0 - self.p_eps)
-        t = jnp.clip(t, self.min_temp / self.max_temp, 1.0) * self.max_temp
+        # official ZoeDepth ConditionalLogBinomial semantics: eps added to
+        # both ratio components, temperature mapped (max-min)*t + min
+        p = (h[..., 0] + self.p_eps) / (h[..., 0] + h[..., 1]
+                                        + 2 * self.p_eps)
+        t = (h[..., 2] + 1e-4) / (h[..., 2] + h[..., 3] + 2e-4)
+        t = (self.max_temp - self.min_temp) * t + self.min_temp
 
         n = self.n_bins
         k = jnp.arange(n, dtype=jnp.float32)

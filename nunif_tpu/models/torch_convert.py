@@ -213,6 +213,100 @@ def convert_vda(sd, encoder: str = "vits"):
     return {"pretrained": pre, "head": head}
 
 
+def convert_midas_core(sd, backbone: str = "beit_l_384", prefix: str = ""):
+    """Map a MiDaS DPT-BEiT torch state_dict (the released MiDaS v3.1
+    layout: pretrained.model.* / pretrained.act_postprocess{1-4}.* /
+    scratch.*) to the flax tree of nunif_tpu.iw3.depth.midas.MidasCore.
+
+    ``prefix``: e.g. "core.core." for ZoeDepth checkpoints that nest the
+    MiDaS core."""
+    from ..iw3.depth.midas import BEIT_CONFIGS
+    cfg = BEIT_CONFIGS[backbone]
+    p = prefix + "pretrained."
+    m = p + "model."
+    pre = {"cls_token": raw(sd, m + "cls_token"),
+           "patch_embed": conv2d(sd, m + "patch_embed.proj")}
+    for i in range(cfg["depth"]):
+        b = f"{m}blocks.{i}"
+        pre[f"blocks_{i}"] = {
+            "norm1": layer_norm(sd, b + ".norm1"),
+            "attn": {
+                "qkv_kernel": _np(sd[b + ".attn.qkv.weight"]).T,
+                "q_bias": raw(sd, b + ".attn.q_bias"),
+                "v_bias": raw(sd, b + ".attn.v_bias"),
+                "relative_position_bias_table": raw(
+                    sd, b + ".attn.relative_position_bias_table"),
+                "proj": linear(sd, b + ".attn.proj"),
+            },
+            "gamma_1": raw(sd, b + ".gamma_1"),
+            "gamma_2": raw(sd, b + ".gamma_2"),
+            "norm2": layer_norm(sd, b + ".norm2"),
+            "mlp_fc1": linear(sd, b + ".mlp.fc1"),
+            "mlp_fc2": linear(sd, b + ".mlp.fc2"),
+        }
+    out = {"pretrained": pre}
+    for i in range(4):
+        ap = f"{p}act_postprocess{i + 1}"
+        out[f"readout_{i}"] = linear(sd, ap + ".0.project.0")
+        out[f"projects_{i}"] = conv2d(sd, ap + ".3")
+    out["resize_0"] = conv_transpose2d(sd, p + "act_postprocess1.4")
+    out["resize_1"] = conv_transpose2d(sd, p + "act_postprocess2.4")
+    out["resize_3"] = conv2d(sd, p + "act_postprocess4.4")
+    s = prefix + "scratch."
+    for i in range(1, 5):
+        out[f"layer{i}_rn"] = conv2d(sd, f"{s}layer{i}_rn")
+        rf = f"{s}refinenet{i}"
+        block = {
+            "resConfUnit2": {
+                "conv1": conv2d(sd, rf + ".resConfUnit2.conv1"),
+                "conv2": conv2d(sd, rf + ".resConfUnit2.conv2"),
+            },
+            "out_conv": conv2d(sd, rf + ".out_conv"),
+        }
+        if i != 4:  # refinenet4's resConfUnit1 is dead weight
+            block["resConfUnit1"] = {
+                "conv1": conv2d(sd, rf + ".resConfUnit1.conv1"),
+                "conv2": conv2d(sd, rf + ".resConfUnit1.conv2"),
+            }
+        out[f"refinenet{i}"] = block
+    out["output_conv1"] = conv2d(sd, s + "output_conv.0")
+    out["output_conv2_0"] = conv2d(sd, s + "output_conv.2")
+    out["output_conv2_2"] = conv2d(sd, s + "output_conv.4")
+    return out
+
+
+def _zoe_net2(sd, prefix):
+    """ZoeDepth _net Sequential (conv,act,conv[,act]) -> conv1/conv2."""
+    return {"conv1": conv2d(sd, prefix + "._net.0"),
+            "conv2": conv2d(sd, prefix + "._net.2")}
+
+
+def convert_zoedepth_head(sd, prefix: str = ""):
+    """ZoeDepth metric-bins head (released single-domain layout) ->
+    nunif_tpu.iw3.depth.zoedepth.MetricBinsHead."""
+    p = prefix
+    out = {
+        "conv2": conv2d(sd, p + "conv2"),
+        "seed_bin_regressor": _zoe_net2(sd, p + "seed_bin_regressor"),
+        "seed_projector": _zoe_net2(sd, p + "seed_projector"),
+        "conditional_log_binomial": {
+            "mlp_conv1": conv2d(sd, p + "conditional_log_binomial.mlp.0"),
+            "mlp_conv2": conv2d(sd, p + "conditional_log_binomial.mlp.2"),
+        },
+    }
+    for i in range(4):
+        out[f"projectors_{i}"] = _zoe_net2(sd, f"{p}projectors.{i}")
+        out[f"attractors_{i}"] = _zoe_net2(sd, f"{p}attractors.{i}")
+    return out
+
+
+def convert_zoedepth(sd, backbone: str = "beit_l_384"):
+    """Full ZoeDepth (single-domain, e.g. ZoeD_N): MiDaS core nested at
+    core.core.* + bins head at the root."""
+    return {"core": convert_midas_core(sd, backbone, prefix="core.core."),
+            "bin_head": convert_zoedepth_head(sd)}
+
+
 def convert_da3mono_disparity(sd):
     """reference iw3/models/da3mono_disparity.py:13-26 (3-layer MLP)."""
     return {"mlp_0": linear(sd, "mlp.0"),

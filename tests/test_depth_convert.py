@@ -153,3 +153,111 @@ def test_da3mono_disparity_numeric_parity():
     got = np.asarray(model.apply_fn(
         params, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, rtol=2e-5)
+
+
+def test_midas_beit_core_numeric_parity():
+    """MiDaS DPT-BEiT core (ZoeDepth's relative-depth backbone) at the
+    native 24x24 grid: BEiT q/v-bias attention + per-block relative
+    position bias + DPT project-readout neck (released MiDaS v3.1 key
+    layout)."""
+    from torchref.beit import MidasBeit
+    from nunif_tpu.iw3.depth.midas import MidasCore
+
+    torch.manual_seed(30)
+    tm = MidasBeit().eval()  # beit_b_384 config
+    params = tc.convert_midas_core(tm.state_dict(), "beit_b_384")
+
+    model = MidasCore(backbone="beit_b_384")
+    rng = np.random.default_rng(30)
+    x = rng.normal(0, 1, size=(1, 3, 384, 384)).astype(np.float32)
+    xf = jnp.asarray(x.transpose(0, 2, 3, 1))
+    ref = model.init(jax.random.PRNGKey(0), xf)["params"]
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    with torch.no_grad():
+        want_rel, want_feats = tm(torch.from_numpy(x))
+    rel, feats = model.apply({"params": params}, xf)
+    np.testing.assert_allclose(np.asarray(rel), want_rel.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    for g, w in zip(feats, want_feats):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(),
+            atol=5e-4, rtol=1e-3)
+
+
+def test_zoedepth_bins_head_numeric_parity():
+    """ZoeDepth metric-bins head: seed bins -> attractor refinement ->
+    conditional log-binomial expectation (released single-domain key
+    layout)."""
+    from torchref.zoe_head import ZoeBinsHead
+    from nunif_tpu.iw3.depth.zoedepth import MetricBinsHead
+
+    torch.manual_seed(31)
+    tm = ZoeBinsHead().eval()
+    params = tc.convert_zoedepth_head(tm.state_dict())
+
+    fm = MetricBinsHead()
+    rng = np.random.default_rng(31)
+    H, W = 32, 32  # rel-depth resolution; feature pyramid below
+    rel = rng.uniform(0, 1, size=(1, H, W)).astype(np.float32)
+    feats_t = [
+        torch.from_numpy(rng.normal(0, 1, (1, 32, H, W)).astype(np.float32)),      # out32
+        torch.from_numpy(rng.normal(0, 1, (1, 256, H // 16, W // 16)).astype(np.float32)),  # btlnck
+        torch.from_numpy(rng.normal(0, 1, (1, 256, H // 16, W // 16)).astype(np.float32)),
+        torch.from_numpy(rng.normal(0, 1, (1, 256, H // 8, W // 8)).astype(np.float32)),
+        torch.from_numpy(rng.normal(0, 1, (1, 256, H // 4, W // 4)).astype(np.float32)),
+        torch.from_numpy(rng.normal(0, 1, (1, 256, H // 2, W // 2)).astype(np.float32)),
+    ]
+    with torch.no_grad():
+        want = tm(torch.from_numpy(rel), feats_t).numpy()
+
+    feats_f = [jnp.asarray(t.numpy().transpose(0, 2, 3, 1)) for t in feats_t]
+    ref = fm.init(jax.random.PRNGKey(0), jnp.asarray(rel), feats_f)["params"]
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
+
+    got = np.asarray(fm.apply({"params": params}, jnp.asarray(rel), feats_f))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_convert_zoedepth_full_structure():
+    """Full ZoeD tree (MiDaS core nested at core.core.* + root bins head)
+    converts into the exact flax ZoeDepthNet tree."""
+    from torchref.beit import MidasBeit
+    from torchref.zoe_head import ZoeBinsHead
+    from nunif_tpu.iw3.depth.zoedepth import ZoeDepthNet
+
+    torch.manual_seed(32)
+
+    class Core(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.core = MidasBeit()
+
+    class TorchZoe(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.core = Core()
+            head = ZoeBinsHead()
+            for name, mod in head.named_children():
+                setattr(self, name, mod)
+
+    tm = TorchZoe()
+    params = tc.convert_zoedepth(tm.state_dict(), "beit_b_384")
+
+    model = ZoeDepthNet(core="beit_b_384")
+    x = jnp.zeros((1, 384, 384, 3), jnp.float32)
+    ref = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
