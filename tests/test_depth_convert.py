@@ -261,3 +261,34 @@ def test_convert_zoedepth_full_structure():
     got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
                jax.tree_util.tree_flatten_with_path(params)[0]}
     assert ref_map == got_map
+
+
+def test_convert_da3_mono_structure():
+    """DA3 mono (DINOv2 + DPT out_dim=2 depth+sky head) reuses the DA
+    converter layout."""
+    from torchref.dinovit import DepthAnythingV2 as TorchDA
+    from nunif_tpu.models import create_model
+    import nunif_tpu.iw3  # noqa: F401
+
+    torch.manual_seed(33)
+    tm = TorchDA().eval()
+    sd = dict(tm.state_dict())
+    # widen the final 1-channel conv to the DA3 mono 2-channel head
+    w = sd["depth_head.scratch.output_conv2.2.weight"]
+    sd["depth_head.scratch.output_conv2.2.weight"] = w.repeat(2, 1, 1, 1)
+    sd["depth_head.scratch.output_conv2.2.bias"] = \
+        sd["depth_head.scratch.output_conv2.2.bias"].repeat(2)
+    params = tc.convert_depth_anything(sd, "vits")
+
+    model = create_model("iw3.depth_anything_v3_mono", encoder="vits") \
+        if "iw3.depth_anything_v3_mono" in __import__(
+            "nunif_tpu.models.register", fromlist=["x"])._models else None
+    if model is None:
+        from nunif_tpu.iw3.depth.da3 import DepthAnythingV3Mono
+        model = DepthAnythingV3Mono(encoder="vits")
+    ref = model.init_params(jax.random.PRNGKey(0), (1, 126, 126, 3))
+    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
+               jax.tree_util.tree_flatten_with_path(ref)[0]}
+    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert ref_map == got_map
