@@ -137,7 +137,15 @@ class DepthAnythingModel(BaseDepthModel):
         if self.prep_lower_bound % 14 != 0:
             self.prep_lower_bound += 14 - self.prep_lower_bound % 14
         model = DepthAnything(encoder=self.encoder, max_depth=self.max_depth)
-        if checkpoint is not None:
+        if checkpoint is not None and str(checkpoint).endswith(".pth"):
+            # raw torch.hub state dict (no nunif envelope): convert directly
+            from ...models.pth_import import load_torch_checkpoint
+            from ...models.torch_convert import convert_depth_anything
+            _name, _kw, sd = load_torch_checkpoint(checkpoint)
+            params = convert_depth_anything(sd, self.encoder)
+            logger.info("converted depth checkpoint %s (%s)", checkpoint,
+                        self.encoder)
+        elif checkpoint is not None:
             from ...models.io import load_model as load_ckpt
             model, params, _ = load_ckpt(checkpoint)
         else:

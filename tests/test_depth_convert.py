@@ -292,3 +292,22 @@ def test_convert_da3_mono_structure():
     got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
                jax.tree_util.tree_flatten_with_path(params)[0]}
     assert ref_map == got_map
+
+
+def test_depth_anything_loads_raw_pth(tmp_path):
+    """create_depth_model(...).load(checkpoint=<raw hub .pth>) converts a
+    torch.hub-style state dict directly."""
+    from torchref.dinovit import DepthAnythingV2 as TorchDA
+    from nunif_tpu.iw3.depth import create_depth_model
+
+    torch.manual_seed(34)
+    tm = TorchDA().eval()
+    path = str(tmp_path / "depth_anything_v2_vits.pth")
+    torch.save(tm.state_dict(), path)
+
+    dm = create_depth_model("Any_V2_S").load(checkpoint=path,
+                                             limit_resolution=True)
+    rng = np.random.default_rng(34)
+    x = rng.uniform(size=(1, 70, 98, 3)).astype(np.float32)
+    out = dm.infer(jnp.asarray(x))
+    assert np.isfinite(np.asarray(out)).all()
