@@ -134,11 +134,12 @@ class Waifu2xTrainerApp:
         # hard example mining (reference waifu2x/training/trainer.py:697):
         # weighted-with-replacement sampling driven by per-sample loss SMA
         sampler = None
-        if getattr(args, "hard_example", "linear") != "none":
+        hard_example = getattr(args, "hard_example", "linear")
+        if hard_example != "none":
             from ...training.sampler import HardExampleSampler, MiningMethod
             method = {"linear": MiningMethod.LINEAR,
                       "top10": MiningMethod.TOP10,
-                      "top20": MiningMethod.TOP20}[args.hard_example]
+                      "top20": MiningMethod.TOP20}[hard_example]
             sampler = HardExampleSampler(
                 self.train_ds.num_samples, method=method,
                 scale_factor=getattr(args, "hard_example_scale", 4.0),
