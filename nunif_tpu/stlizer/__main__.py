@@ -26,6 +26,23 @@ def main(argv=None):
     p.add_argument("--video-codec", default="libx264")
     p.add_argument("--crf", type=int, default=20)
     p.add_argument("--preset", default="ultrafast")
+    p.add_argument("--pix-fmt", default="yuv420p")
+    p.add_argument("--iteration", type=int, default=50,
+                   help="frame transform optimization iterations")
+    p.add_argument("--disable-cache", action="store_true",
+                   help="disable the pass1-2 analysis cache")
+    p.add_argument("--debug", action="store_true",
+                   help="output original | stabilized side-by-side")
+    p.add_argument("--buffer-decay", type=float, default=0.75,
+                   help="accepted for reference compatibility (outpaint "
+                        "frame-buffer decay; the TPU outpaint is per-frame)")
+    p.add_argument("--video-bitrate", default=None)
+    p.add_argument("--tune", nargs="+", default=[])
+    p.add_argument("--profile-level", default=None)
+    p.add_argument("--video-format", "-vf", default="mp4",
+                   choices=["mp4", "mkv", "avi"])
+    p.add_argument("--colorspace", default="auto",
+                   choices=["auto", "bt709", "unspecified"])
     args = p.parse_args(argv)
 
     from ..video import VideoOutputConfig
@@ -35,13 +52,18 @@ def main(argv=None):
         from ..models.io import load_model
         _, sp_params, _ = load_model(args.checkpoint)
     vc = VideoOutputConfig(codec=args.video_codec, crf=args.crf,
-                           preset=args.preset, max_fps=args.max_fps)
+                           preset=args.preset, pix_fmt=args.pix_fmt,
+                           max_fps=args.max_fps, bitrate=args.video_bitrate,
+                           tune=tuple(args.tune),
+                           profile_level=args.profile_level)
     info = stabilize_video(
         args.input, args.output, resolution=args.resolution,
         smoothing=args.smoothing, filter_name=args.filter,
         border=args.border, padding=args.padding,
         batch_size=args.batch_size, max_fps=args.max_fps,
-        cache_dir=args.cache_dir, superpoint_params=sp_params, video_config=vc)
+        cache_dir=args.cache_dir, use_cache=not args.disable_cache,
+        iteration=args.iteration, debug=args.debug,
+        superpoint_params=sp_params, video_config=vc)
     print(f"stabilized {info['frames']} frames @ {info['fps']:.2f} fps",
           file=sys.stderr)
     return 0

@@ -228,7 +228,8 @@ def _analysis_pass(input_path, resolution, batch_size, max_fps,
 def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
                     smoothing=2.0, filter_name="gaussian", border="black",
                     padding=0.05, batch_size=8, max_fps=30.0,
-                    cache_dir=None, superpoint_params=None,
+                    cache_dir=None, use_cache=True, iteration=50,
+                    debug=False, superpoint_params=None,
                     video_config=None, outpaint_model=None,
                     progress_callback=None):
     """Full 4-pass stabilization (reference stlizer/main.py:123)."""
@@ -236,6 +237,16 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
     from ..video import process_video, VideoOutputConfig
     from ..utils.superpoint import apply_transform
 
+    if cache_dir is None and use_cache:
+        # reference caches pass1-2 by default (--disable-cache opts out)
+        import os as _os
+        root = _os.environ.get("NUNIF_TPU_HOME",
+                               _os.path.join(_os.path.expanduser("~"),
+                                             ".cache", "nunif_tpu"))
+        cache_dir = _os.path.join(root, "stlizer_cache")
+        _os.makedirs(cache_dir, exist_ok=True)
+    if not use_cache:
+        cache_dir = None
     cached = load_cache(input_path, cache_dir) if cache_dir else None
     if cached is not None:
         logger.info("stlizer: using cached analysis")
@@ -246,7 +257,8 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
     else:
         (shift_x, shift_y, angle, scores, fps, resize_scale, center,
          _n) = _analysis_pass(input_path, resolution, batch_size, max_fps,
-                              superpoint_params=superpoint_params)
+                              superpoint_params=superpoint_params,
+                              iteration=iteration)
         scene_weight = calc_scene_weight(scores)
         if cache_dir:
             save_cache(input_path, cache_dir, shift_x=shift_x,
@@ -314,6 +326,14 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
             mask = (valid < 0.999).astype(x.dtype)
             y = outpaint_infer(outpaint_model[0], outpaint_model[1],
                                jnp.clip(y, 0.0, 1.0) * (1 - mask), mask)
+        if debug:
+            # reference --debug: original | stabilized side-by-side
+            from ..modules.resize import resize as _resize
+            src_view = x
+            if src_view.shape[1:3] != y.shape[1:3]:
+                src_view = _resize(src_view, y.shape[1], y.shape[2],
+                                   mode="bilinear", antialias=False)
+            y = jnp.concatenate([src_view, y], axis=2)
         return jnp.clip(y, 0.0, 1.0)
 
     process_video(input_path, output_path, callback, batch_size=batch_size,
