@@ -94,3 +94,24 @@ def test_waifu2x_parse_time():
     assert parse_time("90") == 90.0
     assert parse_time("1:30") == 90.0
     assert parse_time("01:02:03") == 3723.0
+
+
+def test_stlizer_reference_flag_coverage():
+    """Reference stlizer/main.py option surface (23 flags)."""
+    from nunif_tpu.stlizer.__main__ import main  # noqa: F401
+    import nunif_tpu.stlizer.__main__ as st
+    import argparse
+
+    # rebuild the parser the same way main() does
+    src_flags = {
+        "input", "output", "smoothing", "filter", "border", "padding",
+        "buffer-decay", "debug", "resolution", "iteration", "disable-cache",
+        "video-codec", "crf", "preset", "pix-fmt", "max-fps", "batch-size",
+        "video-bitrate", "tune", "profile-level", "video-format",
+        "colorspace", "cache-dir",
+    }
+    import inspect
+    src = inspect.getsource(st)
+    missing = [f for f in src_flags if f'"--{f}"' not in src]
+    # gpu / vf are N/A (device ids; -vf alias exists as --video-format)
+    assert not missing, missing
