@@ -432,3 +432,237 @@ def gan_mask_hinge_loss_d(real_logits, fake_logits, mask):
 
 def gan_mask_hinge_loss_g(fake_logits, mask):
     return -_masked_mean(fake_logits.astype(jnp.float32), mask)
+
+
+# --------------------------------------------------------------------------
+# Differentiable pair augments + augmented DCT losses
+# (reference nunif/modules/transforms.py diff_rotate/diff_translate and
+# dct_loss.py DCTLoss(random_rotate/random_instance_rotate/overlap),
+# waifu2x/training/trainer.py _dctirm / "dctir24").
+#
+# TPU adaptation: the reference expands rotated outputs to the exact
+# per-angle bounding box (a dynamic shape).  Under jit we expand every
+# rotation to the static diagonal bound instead — same content, slightly
+# more zero border; the 0.5/1.0 loss weighting is unchanged.
+# Random-augmented criteria take an optional `rng` argument (the trainer
+# threads its step PRNG key); with rng=None they fall back to the
+# reference's eval behavior (fixed 45 deg / fixed translate).
+# --------------------------------------------------------------------------
+
+def rotate_expand(x, angle, out_hw=None):
+    """Rotate (B,H,W,C) by per-instance `angle` (radians, (B,) or scalar)
+    about the image center; bilinear, zeros padding, output expanded to
+    the static diagonal bound (or `out_hw`)."""
+    from .grid_sample import grid_sample
+    B, H, W, C = x.shape
+    angle = jnp.broadcast_to(jnp.asarray(angle, jnp.float32), (B,))
+    if out_hw is None:
+        d = int(np.ceil(np.sqrt(H * H + W * W)))
+        oh = ow = d + (d % 2)
+    else:
+        oh, ow = out_hw
+    yy = jnp.arange(oh, dtype=jnp.float32) - (oh - 1) / 2.0
+    xx = jnp.arange(ow, dtype=jnp.float32) - (ow - 1) / 2.0
+    gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
+    ca = jnp.cos(angle)[:, None, None]
+    sa = jnp.sin(angle)[:, None, None]
+    ix = ca * gx + sa * gy          # output -> input (inverse rotation)
+    iy = -sa * gx + ca * gy
+    # normalized align_corners=True coords about the input center
+    nx = ix / jnp.maximum((W - 1) / 2.0, 1.0)
+    ny = iy / jnp.maximum((H - 1) / 2.0, 1.0)
+    grid = jnp.stack([nx, ny], axis=-1)
+    return grid_sample(x, grid, mode="bilinear", padding_mode="zeros",
+                       align_corners=True)
+
+
+def translate_pair(x, y, rng=None, size=12, instance_random=True):
+    """Shift both images by the same random integer offset in
+    [-size, size], expanding the canvas by `size` each side (zeros).
+    rng=None -> centered (no shift), matching the reference eval path."""
+    B, H, W, C = x.shape
+    pad = ((0, 0), (2 * size, 2 * size), (2 * size, 2 * size), (0, 0))
+    xp = jnp.pad(x, pad)
+    yp = jnp.pad(y, pad)
+    if rng is None:
+        off = jnp.full((B, 2), size, jnp.int32)
+    elif instance_random:
+        off = jax.random.randint(rng, (B, 2), 0, 2 * size + 1)
+    else:
+        off = jnp.broadcast_to(
+            jax.random.randint(rng, (1, 2), 0, 2 * size + 1), (B, 2))
+
+    def slice_one(img, o):
+        return jax.lax.dynamic_slice(
+            img, (o[0], o[1], 0), (H + 2 * size, W + 2 * size, C))
+
+    return (jax.vmap(slice_one)(xp, off), jax.vmap(slice_one)(yp, off))
+
+
+def _dct_window_loss(x, y, window_size, base_loss, clamp, overlap):
+    def one(xw, yw):
+        if clamp:
+            noclip = l1_loss(xw, yw)
+            clip = base_loss(dct2(jnp.clip(xw, 0, 1)),
+                             dct2(jnp.clip(yw, 0, 1)))
+            return clip + noclip * 0.001
+        return base_loss(dct2(xw), dct2(yw))
+
+    if window_size is None:
+        return one(x, y)
+    l1v = one(_window_partition_pad(x, window_size),
+              _window_partition_pad(y, window_size))
+    if not overlap:
+        return l1v
+    p = window_size // 2
+    pad = ((0, 0), (p, p), (p, p), (0, 0))
+    l2v = one(_window_partition_pad(jnp.pad(x, pad), window_size),
+              _window_partition_pad(jnp.pad(y, pad), window_size))
+    return (l1v + l2v) * 0.5
+
+
+def dct_loss_ex(window_size=None, base_loss=l1_loss, clamp=False,
+                overlap=False, rotate=None, yrgb=True):
+    """DCT loss with the reference's full option surface
+    (reference dct_loss.py DCTLoss): window_size=None -> whole-image DCT;
+    overlap -> second half-window-shifted pass averaged in; rotate in
+    {None, "diag", "batch_random", "instance_random"}.
+
+    Returns fn(x, y, rng=None); random rotations need rng (the fn is
+    marked needs_rng=True so trainers thread their step key)."""
+    def wrapped(x, y, rng=None):
+        if yrgb and x.shape[-1] == 3:
+            x, y = _rgb_to_yrgb(x), _rgb_to_yrgb(y)
+        loss1 = _dct_window_loss(x, y, window_size, base_loss, clamp,
+                                 overlap)
+        if rotate is None:
+            return loss1
+        B = x.shape[0]
+        if rng is None:
+            ang = jnp.full((B,), np.pi / 4, jnp.float32)
+        elif rotate == "instance_random":
+            ang = jax.random.uniform(rng, (B,), jnp.float32, 0, 2 * np.pi)
+        else:  # batch_random / diag
+            if rotate == "diag":
+                ang = jnp.full((B,), np.pi / 4, jnp.float32)
+            else:
+                ang = jnp.broadcast_to(
+                    jax.random.uniform(rng, (1,), jnp.float32,
+                                       0, 2 * np.pi), (B,))
+        loss2 = _dct_window_loss(rotate_expand(x, ang), rotate_expand(y, ang),
+                                 window_size, base_loss, clamp, overlap)
+        return loss1 * 0.5 + loss2
+
+    wrapped.needs_rng = rotate in ("batch_random", "instance_random")
+    return wrapped
+
+
+def weighted_loss_ex(loss_fns, weights, preprocess_pair=None):
+    """reference weighted_loss.py WeightedLoss with preprocess_pair:
+    the (possibly random) pair augment runs once, each sub-loss sees the
+    augmented pair.  Sub-losses may themselves accept rng."""
+    def loss_fn(x, y, rng=None):
+        r_pre = r_sub = None
+        if rng is not None:
+            r_pre, r_sub = jax.random.split(rng)
+        if preprocess_pair is not None:
+            x, y = preprocess_pair(x, y, r_pre)
+        total = 0.0
+        for i, (f, w) in enumerate(zip(loss_fns, weights)):
+            if getattr(f, "needs_rng", False):
+                k = None if r_sub is None else jax.random.fold_in(r_sub, i)
+                total += w * f(x, y, k)
+            else:
+                total += w * f(x, y)
+        return total
+
+    loss_fn.needs_rng = True
+    return loss_fn
+
+
+def dctirm_loss(rotate=True, translate=True):
+    """reference waifu2x/training/trainer.py:53-64 _dctirm."""
+    fns = (dct_loss_ex(window_size=4, clamp=True),
+           dct_loss_ex(window_size=24, clamp=True,
+                       rotate="instance_random" if rotate else None),
+           dct_loss_ex(window_size=None, clamp=True))
+    pre = (lambda x, y, rng: translate_pair(x, y, rng, size=12)) \
+        if translate else None
+    return weighted_loss_ex(fns, (0.2, 0.2, 0.6), preprocess_pair=pre)
+
+
+def dctir24_loss():
+    """reference trainer.py "dctir24"."""
+    return weighted_loss_ex(
+        (dct_loss_ex(window_size=24, clamp=True, rotate="batch_random",
+                     overlap=True),),
+        (1.0,),
+        preprocess_pair=lambda x, y, rng: translate_pair(x, y, rng, size=12))
+
+
+# --------------------------------------------------------------------------
+# Gradient / FFT composites (reference gradient_loss.py, fft_loss.py)
+# --------------------------------------------------------------------------
+
+def gradient_only_loss(diag=False, base_loss=l1_loss):
+    """reference gradient_loss.py GradientLoss: finite differences with the
+    detached (stop-gradient) neighbor, averaged over directions."""
+    def grads(x):
+        sg = jax.lax.stop_gradient
+        out = [x[:, 1:, 1:, :] - sg(x[:, :-1, 1:, :]),
+               x[:, 1:, 1:, :] - sg(x[:, 1:, :-1, :])]
+        if diag:
+            out.append(x[:, 1:, 1:, :] - sg(x[:, :-1, :-1, :]))
+            out.append(x[:, 1:, 1:-1, :] - sg(x[:, :-1, 2:, :]))
+        return out
+
+    def wrapped(x, y):
+        gx, gy = grads(x), grads(y)
+        return sum(base_loss(a, b) for a, b in zip(gx, gy)) / len(gx)
+    return wrapped
+
+
+def fft_ri_loss():
+    """reference fft_loss.py fft_loss: L1 over stacked (real, imag) of the
+    whole-image 2D DFT (ortho norm — the reference's own recommended norm,
+    fft_loss.py:24-25)."""
+    def wrapped(x, y):
+        from .spectral import dft2
+        xr, xi = dft2(x.astype(jnp.float32))
+        yr, yi = dft2(y.astype(jnp.float32))
+        return 0.5 * (jnp.mean(jnp.abs(xr - yr)) + jnp.mean(jnp.abs(xi - yi)))
+    return wrapped
+
+
+def yrgb_l1_lbp_loss(kernel_size=3, weight=0.4):
+    """reference lbp_loss.py YRGBL1LBP: clamp-L1 + weight * YRGB-LBP."""
+    lbp = yrgb_lbp_loss(kernel_size=kernel_size)
+    l1 = clamp_loss_of(l1_loss)
+
+    def wrapped(x, y):
+        return l1(x, y) + lbp(x, y) * weight
+    return wrapped
+
+
+def yrgb_flat_lbp_loss(kernel_size=5, weight=0.4):
+    """reference lbp_loss.py YRGBFlatLBP: clamp flat-color-weighted L1+L2
+    + weight * YRGB-LBP."""
+    lbp = yrgb_lbp_loss(kernel_size=kernel_size)
+    flat = clamp_loss_of(flat_color_weighted_loss)
+
+    def wrapped(x, y):
+        return flat(x, y) + lbp(x, y) * weight
+    return wrapped
+
+
+def yrgb_l1_fft_gradient_loss(fft_weight=0.1, grad_weight=0.1, diag=False):
+    """reference fft_loss.py YRGBL1FFTGradientLoss: YRGB-preprocessed
+    clamp-L1 + fft + clamp-gradient weighted sum."""
+    l1 = clamp_loss_of(l1_loss)
+    fft = fft_ri_loss()
+    grad = clamp_loss_of(gradient_only_loss(diag=diag))
+
+    def wrapped(x, y):
+        x, y = _rgb_to_yrgb(x), _rgb_to_yrgb(y)
+        return l1(x, y) + fft(x, y) * fft_weight + grad(x, y) * grad_weight
+    return wrapped

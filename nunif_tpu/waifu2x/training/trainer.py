@@ -27,25 +27,110 @@ def _aux(loss_fn):
     return L.auxiliary_loss((loss_fn, loss_fn), (1.0, 0.5))
 
 
+def _lpips_criterion(base_loss, weight, std_mask=False):
+    """reference LPIPSWith: base + weight * LPIPS.  The VGG16 trunk
+    converts from a torchvision vgg16 .pth when NUNIF_LPIPS_VGG points at
+    one; otherwise random-init (stationary random features — usable
+    training signal, not released-weight parity)."""
+    import os as _os
+    import jax
+    import jax.numpy as jnp
+    from ...modules.lpips import LPIPS, lpips_with
+    from ...core.logger import logger
+
+    model = LPIPS()
+    vgg_ckpt = _os.environ.get("NUNIF_LPIPS_VGG")
+    if vgg_ckpt:
+        from ...models.pth_import import load_torch_checkpoint
+        from ...models.torch_convert import convert_vgg16_features
+        _n, _k, sd = load_torch_checkpoint(vgg_ckpt)
+        params = {"params": {"net": convert_vgg16_features(sd)["params"]}}
+    else:
+        logger.warning("LPIPS: random-init VGG trunk "
+                       "(set NUNIF_LPIPS_VGG=<torchvision vgg16 .pth>)")
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3), jnp.float32),
+                            jnp.zeros((1, 32, 32, 3), jnp.float32))
+    fn = lpips_with(base_loss, weight=weight, std_mask=std_mask)
+    return lambda x, y: fn(params, x, y)
+
+
+def _l4sn_criterion(base_loss, weight, swd_weight=0.0):
+    """reference L4SNWith (waifu2x trainer:110-112): base +
+    weight * L4SN feature loss (+ optional sliced-wasserstein term)."""
+    import jax
+    from ...dino.l4sn import L4SNFeature, l4sn_feature_loss
+    from ...core.logger import logger
+
+    model = L4SNFeature()
+    logger.warning("L4SN: random-init feature net (train one with the "
+                   "dino addon for the reference's trained weights)")
+    params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+
+    def fn(x, y):
+        return base_loss(x, y) + l4sn_feature_loss(
+            model, params, x, y, weight=weight, swd_weight=swd_weight)
+    return fn
+
+
 def create_criterion(name: str):
-    """reference waifu2x/training/trainer.py:67-146 (torch-free subset;
-    lpips/dinov2 feature losses pending their backbone ports)."""
+    """reference waifu2x/training/trainer.py:67-117 LOSS_FUNCTIONS —
+    full table.  Random-augmented entries return fns marked
+    ``needs_rng``; the step threads its PRNG key."""
+    from ...modules.dinov2_loss import dinov2_with
+
+    clamp_l1 = lambda: L.clamp_loss_of(L.l1_loss)  # noqa: E731
+    alex11 = lambda: L.clamp_loss_of(                       # noqa: E731
+        L.luminance_weighted(L.alex11_loss(in_channels=1)))
     table = {
-        "l1": lambda: L.clamp_loss_of(L.l1_loss),
+        "l1": clamp_l1,
         "y_l1": lambda: L.luminance_weighted(L.clamp_loss_of(L.l1_loss)),
         "charbonnier": lambda: L.clamp_loss_of(L.charbonnier_loss),
         "y_charbonnier": lambda: L.luminance_weighted(
             L.clamp_loss_of(L.charbonnier_loss)),
         "lbp": lambda: L.ylbp_loss(kernel_size=3),
+        "lbpm": lambda: L.multiscale_loss(L.ylbp_loss(kernel_size=3)),
         "lbp5": lambda: L.ylbp_loss(kernel_size=5),
+        "lbp5m": lambda: L.multiscale_loss(L.ylbp_loss(kernel_size=5)),
+        "yrgb_l1lbp5": lambda: L.yrgb_l1_lbp_loss(kernel_size=5, weight=0.4),
+        "yrgb_l1lbp": lambda: L.yrgb_l1_lbp_loss(kernel_size=3, weight=0.4),
+        "yrgb_flatlbp5": lambda: L.yrgb_flat_lbp_loss(kernel_size=5,
+                                                      weight=0.4),
         "yrgb_lbp": lambda: L.yrgb_lbp_loss(kernel_size=3),
         "yrgb_lbp5": lambda: L.yrgb_lbp_loss(kernel_size=5),
-        "dct": lambda: L.dct_loss(clamp=True),
+        "alex11": alex11,
+        "y_l1fftgrad": lambda: L.yrgb_l1_fft_gradient_loss(
+            fft_weight=0.1, grad_weight=0.1, diag=False),
+        "dct": lambda: L.dct_loss_ex(window_size=None, clamp=True),
+        "dctirm": lambda: L.dctirm_loss(),
+        "dctir24": lambda: L.dctir24_loss(),
         "fft": lambda: L.fft_loss(),
         "aux_lbp": lambda: _aux(L.ylbp_loss(kernel_size=3)),
+        "aux_alex11": lambda: _aux(alex11()),
         "aux_charbonnier": lambda: _aux(L.clamp_loss_of(L.charbonnier_loss)),
         "aux_y_charbonnier": lambda: _aux(
             L.luminance_weighted(L.clamp_loss_of(L.charbonnier_loss))),
+        "l1lpips": lambda: _lpips_criterion(clamp_l1(), weight=0.4),
+        "l1lpips_std_mask": lambda: _lpips_criterion(
+            clamp_l1(), weight=0.4, std_mask=True),
+        "l1lpips_dct24": lambda: _lpips_criterion(
+            L.weighted_loss(
+                (clamp_l1(),
+                 L.dct_loss_ex(window_size=24, clamp=True, overlap=True)),
+                (1.0, 0.2)),
+            weight=0.4),
+        "l1dinov2": lambda: dinov2_with(clamp_l1(), kind="pool", weight=0.1),
+        "l1dinov2_10": lambda: dinov2_with(clamp_l1(), kind="pool",
+                                           weight=1.0),
+        "yrgb_lbp_dinov2": lambda: dinov2_with(
+            L.yrgb_lbp_loss(kernel_size=3), kind="cosine", weight=2.0),
+        "l1l4sn": lambda: _l4sn_criterion(clamp_l1(), weight=1.0),
+        "l1l4sn2": lambda: _l4sn_criterion(clamp_l1(), weight=2.0),
+        "l1l4sn_swd": lambda: _l4sn_criterion(clamp_l1(), weight=1.0,
+                                              swd_weight=0.1),
+        "aux_lbp_ident": lambda: L.auxiliary_loss(
+            (L.ylbp_loss(kernel_size=3), L.identity_loss()), (1.0, 1.0)),
+        "ident": lambda: L.identity_loss(),
     }
     if name not in table:
         raise ValueError(f"unknown loss: {name} (known: {sorted(table)})")
@@ -84,13 +169,19 @@ class Waifu2xTrainerApp:
 
         model = self.model
 
+        loss_kwargs = {}
+        if getattr(base_loss, "needs_rng", False):
+            # random-augmented losses (dctirm family) consume the step key
+            loss_kwargs = None
+
         def loss_fn(params, batch, rng):
             pred = model.apply_fn(params, batch["x"], train=True)
+            kw = {"rng": rng} if loss_kwargs is None else loss_kwargs
             if aux and isinstance(pred, tuple):
-                return base_loss(pred, batch["y"]), {}
+                return base_loss(pred, batch["y"], **kw), {}
             if isinstance(pred, tuple):
                 pred = pred[0]
-            return base_loss(pred, batch["y"]), {}
+            return base_loss(pred, batch["y"], **kw), {}
 
         def eval_fn(params, batch):
             pred = model.apply_fn(params, batch["x"], train=False)

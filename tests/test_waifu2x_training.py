@@ -99,11 +99,59 @@ class TestCriterion:
         x = jnp.ones((1, 16, 16, 3)) * 0.6
         y = jnp.ones((1, 16, 16, 3)) * 0.5
         for name in ["l1", "y_l1", "charbonnier", "y_charbonnier", "lbp",
-                     "lbp5", "yrgb_lbp", "dct", "fft"]:
+                     "lbp5", "lbpm", "lbp5m", "yrgb_lbp", "yrgb_lbp5",
+                     "yrgb_l1lbp", "yrgb_l1lbp5", "yrgb_flatlbp5",
+                     "alex11", "y_l1fftgrad", "dct", "dctir24", "fft",
+                     "ident"]:
+            v = float(create_criterion(name)(x, y))
+            assert np.isfinite(v) and v >= 0, name
+        for name in ["aux_lbp", "aux_charbonnier", "aux_y_charbonnier",
+                     "aux_alex11", "aux_lbp_ident"]:
+            aux = create_criterion(name)((x, x), y)
+            assert np.isfinite(float(aux)), name
+
+    def test_rng_losses_compute(self):
+        # dctirm randomly rotates/translates each step (reference _dctirm)
+        import jax
+        import jax.numpy as jnp
+        from nunif_tpu.waifu2x.training.trainer import create_criterion
+        x = jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+        fn = create_criterion("dctirm")
+        assert getattr(fn, "needs_rng", False)
+        v1 = float(fn(x, x + 0.02, rng=jax.random.PRNGKey(0)))
+        v2 = float(fn(x, x + 0.02, rng=jax.random.PRNGKey(7)))
+        assert np.isfinite(v1) and np.isfinite(v2) and v1 > 0
+
+    @pytest.mark.slow
+    def test_feature_net_losses_compute(self):
+        # LPIPS / DINOv2 / L4SN feature criteria (random-init trunks)
+        import jax.numpy as jnp
+        from nunif_tpu.waifu2x.training.trainer import create_criterion
+        x = jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+        y = x + 0.01
+        for name in ["l1lpips", "l1dinov2", "l1l4sn"]:
             v = float(create_criterion(name)(x, y))
             assert np.isfinite(v) and v > 0, name
-        aux = create_criterion("aux_lbp")((x, x), y)
-        assert np.isfinite(float(aux))
+
+    def test_full_reference_loss_table_present(self):
+        # every key of the reference LOSS_FUNCTIONS table
+        # (reference waifu2x/training/trainer.py:67-117) must resolve
+        from nunif_tpu.waifu2x.training.trainer import create_criterion
+        names = ["l1", "y_l1", "charbonnier", "y_charbonnier",
+                 "lbp", "lbpm", "lbp5", "lbp5m",
+                 "yrgb_l1lbp5", "yrgb_l1lbp", "yrgb_flatlbp5",
+                 "yrgb_lbp5", "yrgb_lbp", "alex11", "y_l1fftgrad",
+                 "dct", "dctirm", "dctir24",
+                 "aux_lbp", "aux_alex11", "aux_charbonnier",
+                 "aux_y_charbonnier",
+                 "l1lpips", "l1lpips_std_mask", "l1lpips_dct24",
+                 "l1dinov2", "l1dinov2_10", "yrgb_lbp_dinov2",
+                 "l1l4sn", "l1l4sn2", "l1l4sn_swd",
+                 "aux_lbp_ident", "ident", "fft"]
+        import nunif_tpu.waifu2x.training.trainer as T
+        src = open(T.__file__).read()
+        for name in names:
+            assert f'"{name}"' in src, name
 
     def test_unknown_loss(self):
         from nunif_tpu.waifu2x.training.trainer import create_criterion
