@@ -403,6 +403,8 @@ struct VioWriter {
     AVPacket *pkt = nullptr;
     int width = 0, height = 0;
     int in_bpp = 3;
+    int sws_cs = 0;            // SWS_CS_* matrix for rgb->yuv (0 = by height)
+    int out_range_full = 0;    // 1 = pc/full range output
     int64_t next_pts = 0;
     // audio copy
     AVFormatContext *afmt = nullptr;
@@ -453,6 +455,7 @@ VIO_API VioWriter *vio_writer_open(const char *path, int width, int height,
     } else {
         w->enc->colorspace = AVCOL_SPC_SMPTE170M;
     }
+    w->sws_cs = height > 576 ? SWS_CS_ITU709 : SWS_CS_ITU601;
     if (w->fmt->oformat->flags & AVFMT_GLOBALHEADER) {
         w->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     }
@@ -479,6 +482,25 @@ VIO_API VioWriter *vio_writer_open(const char *path, int width, int height,
                 w->enc->gop_size = atoi(v.c_str());
             } else if (k == "b") {
                 w->enc->bit_rate = atoll(v.c_str());
+            } else if (k == "colorspace") {
+                // negotiated target matrix: tag the stream AND use the
+                // matching rgb->yuv coefficients (reference
+                // nunif/utils/video.py:643-894 guess_target_colorspace)
+                if (v == "bt709") {
+                    w->enc->colorspace = AVCOL_SPC_BT709;
+                    w->enc->color_primaries = AVCOL_PRI_BT709;
+                    w->enc->color_trc = AVCOL_TRC_BT709;
+                    w->sws_cs = SWS_CS_ITU709;
+                } else if (v == "bt601") {
+                    w->enc->colorspace = AVCOL_SPC_SMPTE170M;
+                    w->enc->color_primaries = AVCOL_PRI_SMPTE170M;
+                    w->enc->color_trc = AVCOL_TRC_SMPTE170M;
+                    w->sws_cs = SWS_CS_ITU601;
+                }
+            } else if (k == "range") {
+                w->out_range_full = (v == "pc" || v == "full") ? 1 : 0;
+                w->enc->color_range = w->out_range_full
+                    ? AVCOL_RANGE_JPEG : AVCOL_RANGE_MPEG;
             } else if (av_opt_set(w->enc->priv_data, k.c_str(), v.c_str(),
                                   0) < 0) {
                 av_opt_set(w->enc, k.c_str(), v.c_str(), 0);
@@ -593,11 +615,13 @@ VIO_API int vio_writer_write(VioWriter *w, const uint8_t *rgb) {
         w->sws, w->width, w->height, in_fmt,
         w->width, w->height, w->enc->pix_fmt, SWS_BILINEAR,
         nullptr, nullptr, nullptr);
-    // rgb -> yuv with the encoder's target matrix
+    // rgb -> yuv with the negotiated target matrix/range
     sws_setColorspaceDetails(
         w->sws, sws_getCoefficients(SWS_CS_DEFAULT), 1,
-        sws_getCoefficients(w->height > 576 ? SWS_CS_ITU709 : SWS_CS_ITU601),
-        0, 0, 1 << 16, 1 << 16);
+        sws_getCoefficients(w->sws_cs ? w->sws_cs
+                            : (w->height > 576 ? SWS_CS_ITU709
+                                               : SWS_CS_ITU601)),
+        w->out_range_full, 0, 1 << 16, 1 << 16);
     const uint8_t *src_data[4] = {rgb, nullptr, nullptr, nullptr};
     int src_linesize[4] = {w->width * w->in_bpp, 0, 0, 0};
     av_frame_make_writable(w->frame);

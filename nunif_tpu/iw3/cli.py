@@ -77,7 +77,9 @@ def create_parser():
     p.add_argument("--video-codec", default="libx264")
     p.add_argument("--crf", type=int, default=20)
     p.add_argument("--preset", default="ultrafast")
-    p.add_argument("--pix-fmt", default="yuv420p")
+    p.add_argument("--pix-fmt", default="yuv420p",
+                   choices=["yuv420p", "yuv444p", "yuv420p10le", "rgb24",
+                            "gbrp", "gbrp10le", "gbrp16le"])
     p.add_argument("--max-fps", type=float, default=30.0)
     p.add_argument("--video-batch", type=int, default=4)
     p.add_argument("--ema-normalize", action="store_true",
@@ -118,8 +120,11 @@ def create_parser():
     p.add_argument("--keyframe-interval", type=float, default=None,
                    help="keyframe interval in seconds (gop = fps*interval)")
     p.add_argument("--colorspace", default="auto",
-                   choices=["auto", "bt709", "unspecified"],
-                   help="output colorspace (bt709 tagged for HD outputs)")
+                   choices=["auto", "unspecified", "copy",
+                            "bt709", "bt709-pc", "bt709-tv",
+                            "bt601", "bt601-pc", "bt601-tv"],
+                   help="output colorspace: tag + rgb->yuv matrix/range "
+                        "(auto = by output height; copy = source matrix)")
     p.add_argument("--metadata", nargs="?", const="filename", default=None,
                    choices=["filename"],
                    help="embed conversion params in the output filename")
@@ -416,7 +421,8 @@ def main(argv=None):
                                bitrate=args.video_bitrate,
                                tune=tuple(args.tune),
                                profile_level=args.profile_level,
-                               keyframe_interval=args.keyframe_interval)
+                               keyframe_interval=args.keyframe_interval,
+                               colorspace=args.colorspace)
         try:
             process_video_full(
                 src, dst, cfg, depth_model, side_model,

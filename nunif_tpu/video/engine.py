@@ -32,6 +32,19 @@ from . import backend
 KNOWN_CODECS = ["libx264", "libx265", "libvpx-vp9", "mpeg4", "utvideo"]
 
 
+def pix_fmt_requires_16bit(pix_fmt: str) -> bool:
+    """reference nunif/utils/video.py:272 — formats deeper than 8 bits
+    get a 16-bit RGB staging surface so precision survives the rgb->yuv
+    conversion."""
+    return pix_fmt in {
+        "yuv420p10le", "p010le",
+        "yuv422p10le", "yuv444p10le",
+        "yuv420p12le", "yuv422p12le", "yuv444p12le",
+        "yuv444p16le",
+        "gbrp16le", "gbrp12le", "gbrp10le", "rgb48le",
+    }
+
+
 @dataclasses.dataclass
 class VideoOutputConfig:
     """reference nunif/utils/video.py:484 (subset: software encoders)."""
@@ -54,10 +67,37 @@ class VideoOutputConfig:
     tune: tuple = ()                    # x264/x265 tune values
     profile_level: Optional[str] = None
     keyframe_interval: Optional[float] = None  # seconds
+    # output colorspace negotiation (reference nunif/utils/video.py:643
+    # guess_target_colorspace): auto | copy | bt709[-tv|-pc] | bt601[-tv|-pc]
+    colorspace: str = "auto"
+    # source stream colorspace (AVCOL_SPC_*), filled by process_video for
+    # colorspace == "copy"
+    source_colorspace: Optional[int] = None
+
+    def __post_init__(self):
+        if pix_fmt_requires_16bit(self.pix_fmt):
+            self.rgb48 = True
+
+    def _colorspace_opts(self) -> list:
+        cs = (self.colorspace or "auto").lower()
+        if cs in ("auto", "unspecified", ""):
+            return []  # native writer tags by output height
+        if cs == "copy":
+            if self.source_colorspace == 1:        # AVCOL_SPC_BT709
+                cs = "bt709"
+            elif self.source_colorspace in (5, 6):  # BT470BG / SMPTE170M
+                cs = "bt601"
+            else:
+                return []
+        parts = cs.split("-")
+        opts = [f"colorspace={parts[0]}"]
+        if len(parts) > 1:
+            opts.append(f"range={'pc' if parts[1] == 'pc' else 'tv'}")
+        return opts
 
     def encoder_opts(self, fps: Fraction) -> str:
         """k=v,... string for the native writer's generic option hook."""
-        opts = []
+        opts = self._colorspace_opts()
         if self.bitrate:
             b = str(self.bitrate).strip().upper()
             mult = 1
@@ -179,6 +219,7 @@ def process_video(input_path: str, output_path: str,
     """
     config = config or VideoOutputConfig()
     reader = backend.VideoReader(input_path, rgb48=config.rgb48)
+    config.source_colorspace = reader.colorspace
     if config.hdr_tonemap and reader.is_hdr:
         # HDR input: re-open at 16-bit for tone-map precision, then wrap the
         # callback with the jitted device tone map producing SDR frames in

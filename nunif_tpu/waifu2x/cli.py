@@ -68,7 +68,9 @@ def create_parser():
                    help="libx264/libx265/libvpx-vp9/mpeg4/utvideo")
     p.add_argument("--crf", type=int, default=20)
     p.add_argument("--preset", default="ultrafast")
-    p.add_argument("--pix-fmt", default="yuv420p")
+    p.add_argument("--pix-fmt", default="yuv420p",
+                   choices=["yuv420p", "yuv444p", "yuv420p10le", "rgb24",
+                            "gbrp", "gbrp10le", "gbrp16le"])
     p.add_argument("--max-fps", type=float, default=128.0)
     p.add_argument("--video-batch", type=int, default=4,
                    help="frames per device batch for video")
@@ -99,7 +101,9 @@ def create_parser():
     p.add_argument("--tune", nargs="+", default=[])
     p.add_argument("--profile-level", default=None)
     p.add_argument("--colorspace", default="auto",
-                   choices=["auto", "bt709", "unspecified"])
+                   choices=["auto", "unspecified", "copy",
+                            "bt709", "bt709-pc", "bt709-tv",
+                            "bt601", "bt601-pc", "bt601-tv"])
     return p
 
 
@@ -256,7 +260,7 @@ def process_video(args, w2x: Waifu2x):
         pix_fmt=args.pix_fmt, max_fps=args.max_fps,
         rgb48=args.depth == 16,
         bitrate=args.video_bitrate, tune=tuple(args.tune),
-        profile_level=args.profile_level)
+        profile_level=args.profile_level, colorspace=args.colorspace)
     VU.process_video(args.input, args.output, frame_fn,
                      batch_size=args.video_batch, config=config,
                      start_time=parse_time(args.start_time),

@@ -315,3 +315,96 @@ def test_retimer_vfr_pts_sanitization():
     out.extend(r.flush())
     # monotonic output, no giant duplicate bursts
     assert 5 <= len(out) <= 8, out
+
+
+class TestColorspace:
+    def test_colorspace_tagging_and_matrix(self, tmp_path):
+        # bt601 request on an HD-sized output must override the
+        # height-based default tag (reference guess_target_colorspace)
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+
+        def gen():
+            for _ in range(6):
+                f = np.full((720, 1282, 3), 128, np.uint8)
+                yield f
+
+        p = str(tmp_path / "cs.mp4")
+        generate_video(p, gen(), 1282, 720, fps=12,
+                       config=VideoOutputConfig(
+                           codec="libx264", crf=18, colorspace="bt601-tv"))
+        r = backend.VideoReader(p)
+        assert r.colorspace in (5, 6)  # BT470BG / SMPTE170M
+        r.close()
+
+        p2 = str(tmp_path / "cs709.mp4")
+        generate_video(p2, gen(), 1282, 720, fps=12,
+                       config=VideoOutputConfig(
+                           codec="libx264", crf=18, colorspace="bt709"))
+        r = backend.VideoReader(p2)
+        assert r.colorspace == 1  # BT709
+        r.close()
+
+    def test_pc_range_roundtrip(self, tmp_path):
+        # full-range output must keep blacks at 0 and whites at 255
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+
+        def gen():
+            f = np.zeros((48, 64, 3), np.uint8)
+            f[:, 32:] = 255
+            for _ in range(6):
+                yield f
+
+        p = str(tmp_path / "pc.mp4")
+        generate_video(p, gen(), 64, 48, fps=12,
+                       config=VideoOutputConfig(
+                           codec="libx264", crf=10, colorspace="bt601-pc"))
+        r = backend.VideoReader(p)
+        assert r.color_range == 2  # AVCOL_RANGE_JPEG
+        f, _ = next(iter(r))
+        r.close()
+        assert f[:, :24].mean() < 12 and f[:, 40:].mean() > 243
+
+    def test_10bit_pix_fmt_roundtrip(self, tmp_path):
+        # yuv420p10le implies a 16-bit RGB staging surface (rgb48)
+        from nunif_tpu.video import generate_video, VideoOutputConfig
+
+        cfg = VideoOutputConfig(codec="libx264", crf=16,
+                                pix_fmt="yuv420p10le")
+        assert cfg.rgb48  # __post_init__ promoted the staging depth
+
+        def gen():
+            for i in range(6):
+                f = np.full((48, 64, 3), 1000 * i + 3000, np.uint16)
+                yield f
+
+        p = str(tmp_path / "p10.mp4")
+        generate_video(p, gen(), 64, 48, fps=12, config=cfg)
+        r = backend.VideoReader(p, rgb48=True)
+        frames = [(f.copy(), pts) for f, pts in r]
+        r.close()
+        assert len(frames) == 6
+        assert frames[0][0].dtype == np.uint16
+        ramp = [f.mean() for f, _ in frames]
+        assert ramp[-1] > ramp[0] + 3000
+
+    def test_copy_resolves_source_matrix(self, tmp_path):
+        # process_video with colorspace="copy" tags the output with the
+        # source's matrix even when the height-default differs
+        from nunif_tpu.video import (process_video, generate_video,
+                                     VideoOutputConfig)
+
+        def gen():
+            for _ in range(6):
+                yield np.full((720, 1282, 3), 90, np.uint8)
+
+        src = str(tmp_path / "src709.mp4")
+        generate_video(src, gen(), 1282, 720, fps=12,
+                       config=VideoOutputConfig(codec="libx264",
+                                                colorspace="bt709"))
+        dst = str(tmp_path / "dst.mp4")
+        process_video(src, dst, lambda b: b,
+                      config=VideoOutputConfig(codec="libx264",
+                                               colorspace="copy"))
+        r = backend.VideoReader(dst)
+        assert r.colorspace == 1
+        r.close()
