@@ -52,6 +52,7 @@ class Iw3FrameProcessor:
         self._compose_norm_jit = None
         self._prep_jit = None
         self._infer_jit = None
+        self._full_jit = None
 
     def _batch_reset_flags(self, batch_len: int):
         """reset_flags[i]=True flushes EMA state AFTER frame i, i.e. when
@@ -107,6 +108,29 @@ class Iw3FrameProcessor:
             self._prep_jit = jax.jit(
                 lambda u8: preprocess_image(
                     u8.astype(jnp.float32) * (1.0 / 255.0), self.cfg))
+        if (not hasattr(self.depth_model, "infer_with_normalize")
+                and self.depth_model.get_ema_buffer_size() == 1
+                and self.depth_model.scaler.decay == 0
+                and self.convergence_estimator is None):
+            # fully-fused path (EMA off => stateless per-frame minmax):
+            # prep -> depth -> normalize -> warp -> compose is ONE device
+            # program with no host sync — dispatch latency through the
+            # host<->device link is paid once per batch instead of three
+            # times plus a blocking (B,2) stats readback.
+            if self._full_jit is None:
+                import jax
+                norm = self.depth_model.scaler.normalize
+
+                def full_fn(u8):
+                    x = preprocess_image(
+                        u8.astype(jnp.float32) * (1.0 / 255.0), self.cfg)
+                    depth = self.depth_model.infer(
+                        x, tta=self.tta, edge_dilation=self.edge_dilation)
+                    mn = jnp.min(depth, axis=(1, 2, 3), keepdims=True)
+                    mx = jnp.max(depth, axis=(1, 2, 3), keepdims=True)
+                    return self._compose_impl(norm(depth, mn, mx), x)
+                self._full_jit = jax.jit(full_fn)
+            return self._full_jit(jnp.asarray(batch_u8))
         if (not hasattr(self.depth_model, "infer_with_normalize")
                 and self.depth_model.get_ema_buffer_size() == 1):
             # fast path: TWO device programs and ONE host sync per batch —

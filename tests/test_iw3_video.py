@@ -98,6 +98,27 @@ class TestIw3Video:
         normalized = depth_model.scaler.update_batch(depth)
         ref = np.asarray(proc2._compose(normalized, list(xb)))
         np.testing.assert_allclose(fast, ref, atol=2e-2)
+        # EMA off selects the single-program path (no per-batch host sync)
+        assert proc._full_jit is not None and proc._infer_jit is None
+
+    def test_ema_on_uses_stats_path(self, depth_model):
+        from nunif_tpu.iw3.pipeline import StereoConfig
+        from nunif_tpu.iw3.composition import StereoFormat
+        from nunif_tpu.iw3.video import Iw3FrameProcessor
+
+        cfg = StereoConfig(method="grid_sample", divergence=2.0,
+                           convergence=0.5,
+                           format=StereoFormat.from_name("half_sbs"))
+        rng = np.random.default_rng(1)
+        batch = (rng.uniform(size=(2, 64, 96, 3)) * 255).astype(np.uint8)
+        depth_model.enable_ema(decay=0.75, buffer_size=1)
+        try:
+            proc = Iw3FrameProcessor(cfg, depth_model)
+            out = proc(batch)
+            assert out is not None
+            assert proc._full_jit is None and proc._infer_jit is not None
+        finally:
+            depth_model.disable_ema()
 
 
 class TestScalerBatchParity:
