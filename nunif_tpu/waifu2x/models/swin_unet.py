@@ -12,6 +12,7 @@ pad) because the tile contract guarantees divisibility.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -20,6 +21,35 @@ from ...modules.attention import SwinTransformerBlocks
 from ...modules.conv import leaky_relu
 from ...modules.permute import pixel_shuffle
 from ...modules.resize import resize, scale_by
+
+
+class Im2ColConv3x3(nn.Module):
+    """3x3 VALID conv computed as 9-slice concat + matmul.
+
+    XLA's TPU conv emitter runs the few-channel stem convs at ~27M cycles
+    each (profiled: patch_conv0 9.0 ms, patch_conv1 10.4 ms per 1080p
+    frame); the same contraction as a (9*Cin)-lane matmul is
+    bandwidth-bound instead.  Param names/shapes identical to nn.Conv so
+    checkpoints are interchangeable.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        h, w = x.shape[1] - 2, x.shape[2] - 2
+        cols = jnp.concatenate(
+            [x[:, di:di + h, dj:dj + w, :]
+             for di in range(3) for dj in range(3)], axis=-1)
+        wmat = kernel.reshape(9 * cin, self.features).astype(x.dtype)
+        y = jax.lax.dot_general(
+            cols, wmat, dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + bias).astype(x.dtype)
 
 
 class PatchDown(nn.Module):
@@ -93,11 +123,9 @@ class SwinUNetBase(nn.Module):
         depth = self.base_layers
         w = 6
 
-        x = nn.Conv(c // 2, (3, 3), padding="VALID", dtype=x.dtype,
-                    name="patch_conv0")(x)
+        x = Im2ColConv3x3(c // 2, name="patch_conv0")(x)
         x = leaky_relu(x, 0.1)
-        x = nn.Conv(c, (3, 3), padding="VALID", dtype=x.dtype,
-                    name="patch_conv1")(x)
+        x = Im2ColConv3x3(c, name="patch_conv1")(x)
         x = leaky_relu(x, 0.1)
         # crop 6 on each side: combined with the two valid convs this removes
         # 8 input px per side so the feature grid divides 12 and 16
