@@ -67,13 +67,14 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
         same_region = None
 
     qkv = qkv_ref[:]  # (BP, NP, 3C)
-    # log2-domain softmax: fold log2(e) into the qk scale and bias so the
-    # softmax is exp2(s - SHIFT)/sum — no row-max pass needed.  Window
-    # attention logits are bounded (|q||k|/sqrt(d) with unit-scale inputs
-    # stays far below fp32 exp2 overflow at ~127 after the -SHIFT), and the
-    # constant shift cancels in the ratio, so this is exact up to rounding.
+    # log2-domain softmax with a row-max shift: fold log2(e) into the qk
+    # scale and bias so the softmax is exp2(s - m)/sum.  The row max (one
+    # VPU reduce over the scores already in registers) makes the kernel
+    # exact for ANY activation magnitude — trained nets keep logits small,
+    # but random-init/fine-tune blowups overflowed the previous fixed-shift
+    # variant to inf/inf = NaN on TPU.  The -100 clamp keeps fully-masked
+    # rows' denominators nonzero.
     LOG2E = 1.4426950408889634
-    SHIFT = 24.0
     scale = jnp.asarray(head_dim ** -0.5 * LOG2E, qkv.dtype)
     for h in range(num_heads):
         # keep MXU inputs in the native (bf16) dtype — fp32 accumulation via
@@ -97,7 +98,8 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
                                scores - 100.0 * LOG2E)
         if pack > 1:  # at pack==1 blockdiag is all-true — skip the pass
             scores = jnp.where(blockdiag, scores, -jnp.inf)
-        e = jnp.exp2(scores - SHIFT)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(jnp.maximum(scores - m, -100.0))
         probs = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             probs.astype(qkv.dtype), v,
@@ -226,7 +228,6 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         same_region = None
 
     LOG2E = 1.4426950408889634
-    SHIFT = 24.0
     scale = jnp.asarray(head_dim ** -0.5 * LOG2E, x.dtype)
     head_outs = []
     for h in range(num_heads):
@@ -239,7 +240,10 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         scores = scores + bias_ref[h].astype(jnp.float32)[None] * LOG2E
         if same_region is not None:
             scores = jnp.where(same_region, scores, scores - 100.0 * LOG2E)
-        e = jnp.exp2(scores - SHIFT)
+        # row-max shift: exact softmax for any activation magnitude (see
+        # _kernel); the clamp bounds denominators away from 0
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(jnp.maximum(scores - m, -100.0))
         probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
         head_outs.append(jax.lax.dot_general(
             probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -377,7 +381,6 @@ def _kernel_img(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, window,
         same_region = None
 
     LOG2E = 1.4426950408889634
-    SHIFT = 24.0
     scale = jnp.asarray(head_dim ** -0.5 * LOG2E, qkv.dtype)
     for h in range(num_heads):
         q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
@@ -394,7 +397,8 @@ def _kernel_img(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, window,
             scores = jnp.where(same_region, scores, scores - 100.0 * LOG2E)
         if pack > 1:
             scores = jnp.where(blockdiag, scores, -jnp.inf)
-        e = jnp.exp2(scores - SHIFT)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(jnp.maximum(scores - m, -100.0))
         probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qkv.dtype)
         o = jax.lax.dot_general(
             probs, v,
