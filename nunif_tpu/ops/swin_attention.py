@@ -192,10 +192,102 @@ def _erf_poly(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _attn_perhead(qkv, bias_ref, same_region, *, num_heads, head_dim, dtype):
+    """Per-head window attention: 2*heads tiny dots per window.
+    bias_ref layout: (heads, N, N)."""
+    C = num_heads * head_dim
+    LOG2E = 1.4426950408889634
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, dtype)
+    head_outs = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, :, C + h * head_dim:C + (h + 1) * head_dim]
+        v = qkv[:, :, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
+        scores = jax.lax.dot_general(
+            q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        scores = scores + bias_ref[h].astype(jnp.float32)[None] * LOG2E
+        if same_region is not None:
+            scores = jnp.where(same_region, scores, scores - 100.0 * LOG2E)
+        # row-max shift: exact softmax for any activation magnitude (see
+        # _kernel); the clamp bounds denominators away from 0
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(jnp.maximum(scores - m, -100.0))
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+        head_outs.append(jax.lax.dot_general(
+            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dtype))
+    return jnp.concatenate(head_outs, axis=-1)
+
+
+def _attn_headpack(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
+                   dtype):
+    """Head-packed window attention: all heads in one wide pass pair.
+
+    The per-head (N,hd)x(hd,N) dots are ~4%-utilized MXU passes (hd=16
+    against the 128-deep contraction); packing all heads into block-masked
+    wide operands replaces 2*heads+ tiny dots per window with ~4 wide ones:
+      khat[p, c] = k[p % N, c] * (c in head p//N)      (P, C) block-masked
+      scores[t, h*N+s] = sum_c q[t,c] khat[h*N+s, c]   (N, P) one dot
+      vhat_aug = [v tiled/masked | ones-block cols]    (P, C+heads)
+      out_unnorm = e @ vhat_aug — the ones columns accumulate each head's
+      softmax denominator in the SAME matmul; a tiny (heads->C) 0/1 dot
+      broadcasts denominators back over each head's channels.
+    bias_ref layout: (N, heads*N), pre-scaled by log2(e).
+    same_region_col: (BW, N, P) shift-region equality or None.
+    """
+    BW, N, _ = qkv.shape
+    C = num_heads * head_dim
+    P = num_heads * N
+    LOG2E = 1.4426950408889634
+
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (P, C), 1) // head_dim
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0) // N
+    hmask = (lane_head == row_head).astype(dtype)            # (P, C)
+
+    q = qkv[:, :, :C]
+    k = qkv[:, :, C:2 * C]
+    v = qkv[:, :, 2 * C:]
+    khat = jnp.tile(k, (1, num_heads, 1)) * hmask[None]      # (BW, P, C)
+    vhat = jnp.tile(v, (1, num_heads, 1)) * hmask[None]
+
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, dtype)
+    scores = jax.lax.dot_general(
+        q * scale, khat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (BW, N, P)
+    scores = scores + bias_ref[:][None]
+    if same_region_col is not None:
+        scores = jnp.where(same_region_col, scores, scores - 100.0 * LOG2E)
+
+    # a per-row max is constant across each head's segment, so subtracting
+    # it leaves every per-head softmax exact; the clamp bounds denominators
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp2(jnp.maximum(scores - m, -100.0)).astype(dtype)
+
+    onescols = (jax.lax.broadcasted_iota(jnp.int32, (P, num_heads), 1)
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (P, num_heads), 0) // N).astype(dtype)
+    vhat_aug = jnp.concatenate(
+        [vhat, jnp.broadcast_to(onescols[None], (BW, P, num_heads))],
+        axis=-1)                                             # (BW, P, C+H)
+    out_unnorm = jax.lax.dot_general(
+        e, vhat_aug, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (BW, N, C+H)
+
+    denom = out_unnorm[:, :, C:]                             # (BW, N, H)
+    rmat = (jax.lax.broadcasted_iota(jnp.int32, (num_heads, C), 1) // head_dim
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (num_heads, C), 0)).astype(jnp.float32)
+    denom_b = jax.lax.dot_general(
+        denom, rmat, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (BW, N, C)
+    return (out_unnorm[:, :, :C] / denom_b).astype(dtype)
+
+
 def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
                   *, num_heads, head_dim, n_tokens, window, shift,
-                  n_wh, n_ww, block_windows):
+                  n_wh, n_ww, block_windows, attn_variant):
     N = n_tokens
     C = num_heads * head_dim
     BW = block_windows
@@ -212,43 +304,37 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     qkv = (qkv + bqkv_ref[:][None].astype(jnp.float32)).astype(x.dtype)
     qkv = qkv.reshape(BW, N, 3 * C)
 
+    same_region = None
     if shift > 0:
+        ncol = N if attn_variant == "perhead" else num_heads * N
         widx = (blk * BW
-                + jax.lax.broadcasted_iota(jnp.int32, (BW, N), 0))
-        wr = (widx // n_ww) % n_wh
+                + jax.lax.broadcasted_iota(jnp.int32, (BW, 1), 0))
+        wr = (widx // n_ww) % n_wh                           # (BW, 1)
         wc = widx % n_ww
-        t = jax.lax.broadcasted_iota(jnp.int32, (BW, N), 1)
-        ti = t // window
-        tj = t % window
-        wrapped_r = jnp.where((wr == n_wh - 1) & (ti >= window - shift), 1, 0)
-        wrapped_c = jnp.where((wc == n_ww - 1) & (tj >= window - shift), 2, 0)
-        region = wrapped_r + wrapped_c
-        same_region = region[:, :, None] == region[:, None, :]
-    else:
-        same_region = None
 
-    LOG2E = 1.4426950408889634
-    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, x.dtype)
-    head_outs = []
-    for h in range(num_heads):
-        q = qkv[:, :, h * head_dim:(h + 1) * head_dim]
-        k = qkv[:, :, C + h * head_dim:C + (h + 1) * head_dim]
-        v = qkv[:, :, 2 * C + h * head_dim:2 * C + (h + 1) * head_dim]
-        scores = jax.lax.dot_general(
-            q * scale, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        scores = scores + bias_ref[h].astype(jnp.float32)[None] * LOG2E
-        if same_region is not None:
-            scores = jnp.where(same_region, scores, scores - 100.0 * LOG2E)
-        # row-max shift: exact softmax for any activation magnitude (see
-        # _kernel); the clamp bounds denominators away from 0
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp2(jnp.maximum(scores - m, -100.0))
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        head_outs.append(jax.lax.dot_general(
-            probs, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(x.dtype))
-    attn = jnp.concatenate(head_outs, axis=-1).reshape(BW * N, C)
+        def region_of(tok):  # tok: in-window token index array
+            ti = tok // window
+            tj = tok % window
+            wrapped_r = jnp.where(
+                (wr == n_wh - 1) & (ti >= window - shift), 1, 0)
+            wrapped_c = jnp.where(
+                (wc == n_ww - 1) & (tj >= window - shift), 2, 0)
+            return wrapped_r + wrapped_c
+
+        t_row = jax.lax.broadcasted_iota(jnp.int32, (BW, N), 1)
+        t_col = jax.lax.broadcasted_iota(jnp.int32, (BW, ncol), 1) % N
+        same_region = (region_of(t_row)[:, :, None]
+                       == region_of(t_col)[:, None, :])      # (BW, N, ncol)
+
+    if attn_variant == "perhead":
+        attn = _attn_perhead(qkv, bias_ref, same_region,
+                             num_heads=num_heads, head_dim=head_dim,
+                             dtype=x.dtype)
+    else:
+        attn = _attn_headpack(qkv, bias_ref, same_region,
+                              num_heads=num_heads, head_dim=head_dim,
+                              dtype=x.dtype)
+    attn = attn.reshape(BW * N, C)
 
     # out projection + residual 1
     proj = jax.lax.dot_general(
@@ -276,10 +362,10 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "window", "shift", "n_wh", "n_ww",
-                     "block_windows", "interpret"))
+                     "block_windows", "attn_variant", "interpret"))
 def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
                      bias, *, num_heads, window, shift, n_wh, n_ww,
-                     block_windows=None, interpret=False):
+                     block_windows=None, attn_variant=None, interpret=False):
     """Whole swin block (norm='none') on pre-partitioned windows.
 
     x: (nw, N, C) tokens; weights in (in, out) layout; bias (heads, N, N)
@@ -289,11 +375,13 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     head_dim = C // num_heads
     assert N == window * window
 
+    import os as _os
     if block_windows is None:
         # default sized for the 16MB scoped-vmem limit; NUNIF_TPU_SWIN_BW
         # overrides for experiments with --xla_tpu_scoped_vmem_limit_kib
-        import os as _os
         block_windows = int(_os.environ.get("NUNIF_TPU_SWIN_BW", "32"))
+    if attn_variant is None:
+        attn_variant = _os.environ.get("NUNIF_TPU_SWIN_ATTN", "headpack")
     bw = min(block_windows, nw)
     while nw % bw:
         bw -= 1
@@ -303,12 +391,24 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     dt = x.dtype
     wargs = [w.astype(dt) for w in (wqkv, wproj, wfc1, wfc2)]
     bargs = [b.astype(jnp.float32) for b in (bqkv, bproj, bfc1, bfc2)]
+    if attn_variant == "perhead":
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        # pack to the head-packed kernel's (N, heads*N) score layout with
+        # the log2(e) softmax-domain scale folded in
+        LOG2E = 1.4426950408889634
+        bias_arg = (bias.astype(jnp.float32) * LOG2E) \
+            .transpose(1, 0, 2).reshape(N, num_heads * N)
+        bias_spec = pl.BlockSpec((N, num_heads * N), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
             _kernel_block, num_heads=num_heads, head_dim=head_dim,
             n_tokens=N, window=window, shift=shift, n_wh=n_wh, n_ww=n_ww,
-            block_windows=bw),
+            block_windows=bw, attn_variant=attn_variant),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
@@ -325,8 +425,7 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
             pl.BlockSpec((hidden, C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec,
         ],
         out_specs=pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -337,7 +436,7 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
-      wargs[3], bargs[3], bias)
+      wargs[3], bargs[3], bias_arg)
     return out
 
 

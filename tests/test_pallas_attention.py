@@ -90,7 +90,8 @@ def test_image_kernel_matches_xla_path(shift):
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
 
 
-def test_fused_swin_block_matches_module(monkeypatch):
+@pytest.mark.parametrize("variant", ["perhead", "headpack"])
+def test_fused_swin_block_matches_module(monkeypatch, variant):
     """v3 whole-block kernel (interpret mode) == unfused module path."""
     import numpy as np
     import jax
@@ -126,7 +127,7 @@ def test_fused_swin_block_matches_module(monkeypatch):
             m["fc2"]["kernel"], m["fc2"]["bias"],
             jnp.asarray(rel, jnp.float32),
             num_heads=6, window=ws, shift=shift, n_wh=nh, n_ww=nw,
-            interpret=True)
+            attn_variant=variant, interpret=True)
         out = out.reshape(1, nh, nw, ws, ws, 96).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(1, 24, 36, 96)
         if shift:

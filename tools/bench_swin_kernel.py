@@ -21,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 from nunif_tpu.ops.swin_attention import fused_swin_block  # noqa: E402
 
 
-def bench(C, shift, n_wh, n_ww, dtype=jnp.bfloat16):
+def bench(C, shift, n_wh, n_ww, variant="headpack", dtype=jnp.bfloat16):
     heads = C // 16
     ws, N = 6, 36
     nw = n_wh * n_ww
@@ -41,7 +41,8 @@ def bench(C, shift, n_wh, n_ww, dtype=jnp.bfloat16):
     def step(x):
         return fused_swin_block(
             x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2, bias,
-            num_heads=heads, window=ws, shift=shift, n_wh=n_wh, n_ww=n_ww)
+            num_heads=heads, window=ws, shift=shift, n_wh=n_wh, n_ww=n_ww,
+            attn_variant=variant)
 
     @jax.jit
     def loop(x, k):
@@ -63,17 +64,20 @@ def bench(C, shift, n_wh, n_ww, dtype=jnp.bfloat16):
 
     t2, t10 = run(2), run(10)
     per_layer = (t10 - t2) / 8.0
-    print(f"C={C} heads={heads} shift={shift} nw={nw}: "
+    print(f"C={C} heads={heads} shift={shift} nw={nw} {variant}: "
           f"{per_layer * 1e3:.2f} ms/layer  (t2={t2*1e3:.1f} t10={t10*1e3:.1f})",
           flush=True)
     return per_layer
 
 
 if __name__ == "__main__":
+    variants = sys.argv[2].split(",") if len(sys.argv) > 2 \
+        else ["perhead", "headpack"]
     C = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    if C == 96:
-        bench(96, 0, 184, 320)
-        bench(96, 3, 184, 320)
-    else:
-        bench(192, 0, 92, 160)
-        bench(192, 3, 92, 160)
+    for v in variants:
+        if C == 96:
+            bench(96, 0, 184, 320, v)
+            bench(96, 3, 184, 320, v)
+        else:
+            bench(192, 0, 92, 160, v)
+            bench(192, 3, 92, 160, v)
