@@ -121,7 +121,17 @@ class DepthAnythingV3MonoModel(BaseDepthModel):
         if self.prep_lower_bound % 14 != 0:
             self.prep_lower_bound += 14 - self.prep_lower_bound % 14
         model = DepthAnythingV3Mono(encoder=self.encoder)
-        if checkpoint is not None:
+        if checkpoint is not None and (
+                str(checkpoint).endswith(".pth")
+                or str(checkpoint).endswith(".safetensors")):
+            # raw hub checkpoint (reference MODEL_FILES:
+            # da3mono-large.safetensors): convert directly
+            from ...models.pth_import import load_torch_checkpoint
+            from ...models.torch_convert import convert_da3mono
+            _name, _kw, sd = load_torch_checkpoint(checkpoint)
+            params = convert_da3mono(sd, self.encoder)
+            logger.info("converted DA3 checkpoint %s", checkpoint)
+        elif checkpoint is not None:
             from ...models.io import load_model as load_ckpt
             model, params, _ = load_ckpt(checkpoint)
         else:

@@ -121,9 +121,14 @@ def supported_torch_models():
 
 
 def load_torch_checkpoint(path: str):
-    """Read a reference .pth and return (name, kwargs, state_dict)."""
+    """Read a reference .pth/.safetensors and return
+    (name, kwargs, state_dict)."""
     import torch
-    data = torch.load(path, weights_only=True, map_location="cpu")
+    if str(path).endswith(".safetensors"):
+        from safetensors.torch import load_file
+        data = load_file(path)
+    else:
+        data = torch.load(path, weights_only=True, map_location="cpu")
     if isinstance(data, dict) and "state_dict" in data:
         name = data.get("name")
         kwargs = data.get("kwargs") or {}

@@ -307,6 +307,25 @@ def convert_zoedepth(sd, backbone: str = "beit_l_384"):
             "bin_head": convert_zoedepth_head(sd)}
 
 
+def convert_da3mono(sd, encoder: str = "vitl"):
+    """DA3-mono (da3mono-large.safetensors via hub
+    nagadomi/Depth-Anything-3_iw3): DINOv2 trunk + DPT head with a
+    2-channel (depth+sky) output conv — the DA v1/v2 layout with a wider
+    final conv.  Normalizes common wrapper prefixes first."""
+    sd = dict(sd)
+    for wrap in ("model.", "module."):
+        if any(k.startswith(wrap) for k in sd) and \
+                not any(k.startswith("pretrained.") for k in sd):
+            sd = {k[len(wrap):] if k.startswith(wrap) else k: v
+                  for k, v in sd.items()}
+    alias = {"backbone.": "pretrained.", "encoder.": "pretrained.",
+             "head.": "depth_head."}
+    if not any(k.startswith("pretrained.") for k in sd):
+        sd = {next((new + k[len(old):] for old, new in alias.items()
+                    if k.startswith(old)), k): v for k, v in sd.items()}
+    return convert_depth_anything(sd, encoder)
+
+
 def convert_da3mono_disparity(sd):
     """reference iw3/models/da3mono_disparity.py:13-26 (3-layer MLP)."""
     return {"mlp_0": linear(sd, "mlp.0"),

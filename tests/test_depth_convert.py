@@ -294,6 +294,34 @@ def test_convert_da3_mono_structure():
     assert ref_map == got_map
 
 
+def test_da3_loads_raw_safetensors(tmp_path):
+    """DA3 mono load(checkpoint=<da3mono .safetensors>) converts the raw
+    hub state dict (reference iw3/depth_anything_v3_model.py MODEL_FILES)."""
+    from safetensors.torch import save_file
+    from torchref.dinovit import DepthAnythingV2 as TorchDA
+    from nunif_tpu.iw3.depth.da3 import DepthAnythingV3MonoModel
+
+    torch.manual_seed(44)
+    tm = TorchDA().eval()
+    sd = dict(tm.state_dict())
+    w = sd["depth_head.scratch.output_conv2.2.weight"]
+    sd["depth_head.scratch.output_conv2.2.weight"] = \
+        w.repeat(2, 1, 1, 1).contiguous()
+    sd["depth_head.scratch.output_conv2.2.bias"] = \
+        sd["depth_head.scratch.output_conv2.2.bias"].repeat(2).contiguous()
+    sd = {k: v.contiguous() for k, v in sd.items()}
+    path = str(tmp_path / "da3mono-large.safetensors")
+    save_file(sd, path)
+
+    dm = DepthAnythingV3MonoModel("Any_V3_Mono")
+    dm.encoder = "vits"
+    dm.load(checkpoint=path, limit_resolution=True)
+    rng = np.random.default_rng(44)
+    x = rng.uniform(size=(1, 70, 98, 3)).astype(np.float32)
+    out = dm.infer(jnp.asarray(x))
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_depth_anything_loads_raw_pth(tmp_path):
     """create_depth_model(...).load(checkpoint=<raw hub .pth>) converts a
     torch.hub-style state dict directly."""
