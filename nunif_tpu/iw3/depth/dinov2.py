@@ -82,7 +82,12 @@ class DinoVisionTransformer(nn.Module):
     pos_embed_size: int = 37  # 518/14 grid of the pretrained pos embed
 
     @nn.compact
-    def __call__(self, x, out_indices: Sequence[int] = ()):
+    def __call__(self, x, out_indices: Sequence[int] = (),
+                 raw_indices: Sequence[int] = ()):
+        """out_indices: block outputs with the final norm applied
+        (DINOv2 get_intermediate_layers(norm=True), Depth-Anything).
+        raw_indices: block outputs WITHOUT the final norm (forward-hook
+        captures, DepthPro latents) — appended after the normed feats."""
         B, H, W, _ = x.shape
         ph, pw = H // self.patch_size, W // self.patch_size
         n = ph * pw
@@ -116,7 +121,7 @@ class DinoVisionTransformer(nn.Module):
              tokens], axis=1)
         tokens = tokens + jnp.concatenate([cls_pos, grid_pos], axis=1).astype(x.dtype)
 
-        out_set = set(out_indices)
+        out_set = set(out_indices) | set(raw_indices)
         outputs = {}
         for i in range(self.depth):
             tokens = Block(self.embed_dim, self.num_heads, name=f"blocks_{i}")(tokens)
@@ -126,11 +131,13 @@ class DinoVisionTransformer(nn.Module):
         # DINOv2 applies the final norm to intermediate outputs
         # (get_intermediate_layers(..., norm=True), used by Depth-Anything)
         norm = nn.LayerNorm(epsilon=1e-6, dtype=x.dtype, name="norm")
-        feats = [norm(outputs[i])[:, 1:] for i in out_indices]  # drop cls
+        feats = ([norm(outputs[i])[:, 1:] for i in out_indices]
+                 + [outputs[i][:, 1:] for i in raw_indices])  # drop cls
         return feats, (ph, pw)
 
 
 VIT_CONFIGS = {
+    "vitt": dict(embed_dim=64, depth=2, num_heads=2),  # tests only
     "vits": dict(embed_dim=384, depth=12, num_heads=6),
     "vitb": dict(embed_dim=768, depth=12, num_heads=12),
     "vitl": dict(embed_dim=1024, depth=24, num_heads=16),

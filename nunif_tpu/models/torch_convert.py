@@ -61,20 +61,17 @@ def raw(sd, key):
     return _np(sd[key])
 
 
-def convert_depth_anything(sd, encoder: str):
-    """Map a Depth-Anything v1/v2 torch state_dict to the flax param tree of
-    nunif_tpu.iw3.depth.depth_anything.DepthAnything."""
-    from ..iw3.depth.dinov2 import VIT_CONFIGS
-    depth = VIT_CONFIGS[encoder]["depth"]
-
+def dino_vit(sd, prefix: str, depth: int):
+    """Map a timm/DINOv2 ViT state_dict subtree at ``prefix`` to the flax
+    tree of nunif_tpu.iw3.depth.dinov2.DinoVisionTransformer."""
     pre = {
-        "cls_token": raw(sd, "pretrained.cls_token"),
-        "pos_embed": raw(sd, "pretrained.pos_embed"),
-        "patch_embed": conv2d(sd, "pretrained.patch_embed.proj"),
-        "norm": layer_norm(sd, "pretrained.norm"),
+        "cls_token": raw(sd, _key(prefix, "cls_token")),
+        "pos_embed": raw(sd, _key(prefix, "pos_embed")),
+        "patch_embed": conv2d(sd, _key(prefix, "patch_embed.proj")),
+        "norm": layer_norm(sd, _key(prefix, "norm")),
     }
     for i in range(depth):
-        b = f"pretrained.blocks.{i}"
+        b = _key(prefix, f"blocks.{i}")
         pre[f"blocks_{i}"] = {
             "norm1": layer_norm(sd, b + ".norm1"),
             "attn": {
@@ -87,6 +84,16 @@ def convert_depth_anything(sd, encoder: str):
             "mlp_fc2": linear(sd, b + ".mlp.fc2"),
             "ls2": {"gamma": raw(sd, b + ".ls2.gamma")},
         }
+    return pre
+
+
+def convert_depth_anything(sd, encoder: str):
+    """Map a Depth-Anything v1/v2 torch state_dict to the flax param tree of
+    nunif_tpu.iw3.depth.depth_anything.DepthAnything."""
+    from ..iw3.depth.dinov2 import VIT_CONFIGS
+    depth = VIT_CONFIGS[encoder]["depth"]
+
+    pre = dino_vit(sd, "pretrained", depth)
 
     head = {}
     for i in range(4):
@@ -324,6 +331,68 @@ def convert_da3mono(sd, encoder: str = "vitl"):
         sd = {next((new + k[len(old):] for old, new in alias.items()
                     if k.startswith(old)), k): v for k, v in sd.items()}
     return convert_depth_anything(sd, encoder)
+
+
+def convert_depth_pro(sd, encoder: str = "vitl"):
+    """Map the Apple DepthPro checkpoint (depth_pro.pt via hub
+    nagadomi/ml-depth-pro_iw3) to nunif_tpu.iw3.depth.depth_pro.DepthPro.
+
+    Layout: encoder.{patch,image}_encoder + fov.encoder.0 are timm DINOv2
+    ViTs; encoder.upsample* project+upsample Sequentials; decoder.convs /
+    decoder.fusions (FeatureFusionBlock2d with ResidualBlock pairs);
+    head.{0,1,2,4}; fov.{encoder.1,downsample.0,head.{0,2,4}}."""
+    from ..iw3.depth.dinov2 import VIT_CONFIGS
+    depth = VIT_CONFIGS[encoder]["depth"]
+    sd = {k[6:] if k.startswith("model.") else k: v for k, v in sd.items()}
+
+    def up_block(prefix, n_up):
+        out = {"proj": conv2d(sd, prefix + ".0")}
+        for i in range(n_up):
+            out[f"up{i}"] = conv_transpose2d(sd, f"{prefix}.{i + 1}")
+        return out
+
+    def res_block(prefix):
+        return {"conv1": conv2d(sd, prefix + ".residual.1"),
+                "conv2": conv2d(sd, prefix + ".residual.3")}
+
+    def fusion(i):
+        out = {"resnet2": res_block(f"decoder.fusions.{i}.resnet2"),
+               "out_conv": conv2d(sd, f"decoder.fusions.{i}.out_conv")}
+        if i != 4:
+            # fusions[4] (global) is called with a single input; its
+            # resnet1 params are dead weights never instantiated in flax
+            out["resnet1"] = res_block(f"decoder.fusions.{i}.resnet1")
+        if i != 0:
+            out["deconv"] = conv_transpose2d(sd, f"decoder.fusions.{i}.deconv")
+        return out
+
+    params = {
+        "patch_encoder": dino_vit(sd, "encoder.patch_encoder", depth),
+        "image_encoder": dino_vit(sd, "encoder.image_encoder", depth),
+        "upsample_latent0": up_block("encoder.upsample_latent0", 3),
+        "upsample_latent1": up_block("encoder.upsample_latent1", 2),
+        "upsample0": up_block("encoder.upsample0", 1),
+        "upsample1": up_block("encoder.upsample1", 1),
+        "upsample2": up_block("encoder.upsample2", 1),
+        "upsample_lowres": conv_transpose2d(sd, "encoder.upsample_lowres"),
+        "fuse_lowres": conv2d(sd, "encoder.fuse_lowres"),
+        "head_conv0": conv2d(sd, "head.0"),
+        "head_up1": conv_transpose2d(sd, "head.1"),
+        "head_conv2": conv2d(sd, "head.2"),
+        "head_conv4": conv2d(sd, "head.4"),
+    }
+    for i in range(1, 5):
+        params[f"conv{i}"] = conv2d(sd, f"decoder.convs.{i}")
+    for i in range(5):
+        params[f"fusion{i}"] = fusion(i)
+    if "fov.encoder.1.weight" in sd:
+        params["fov_encoder"] = dino_vit(sd, "fov.encoder.0", depth)
+        params["fov_proj"] = linear(sd, "fov.encoder.1")
+        params["fov_downsample"] = conv2d(sd, "fov.downsample.0")
+        params["fov_head0"] = conv2d(sd, "fov.head.0")
+        params["fov_head2"] = conv2d(sd, "fov.head.2")
+        params["fov_head4"] = conv2d(sd, "fov.head.4")
+    return params
 
 
 def convert_da3mono_disparity(sd):
