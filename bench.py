@@ -59,7 +59,7 @@ def bench_iw3():
     cksum = jax.jit(lambda y: jnp.sum((y * 255).astype(jnp.uint32)))
 
     rng = np.random.default_rng(0)
-    bsz = int(os.environ.get("BENCH_BATCH", "8"))
+    bsz = int(os.environ.get("BENCH_BATCH", "16"))
     batch = (rng.uniform(size=(bsz, 1080, 1920, 3)) * 255).astype(np.uint8)
     if os.environ.get("BENCH_H2D", "0") != "1":
         batch = jnp.asarray(batch)  # device-resident input (see docstring)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops.sdpa import sdpa
+
 
 class Attention(nn.Module):
     dim: int
@@ -30,14 +32,13 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, dtype=x.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,H,d)
-        q = q.transpose(0, 2, 1, 3) * (head_dim ** -0.5)
+        q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        # shared SDPA entry: XLA fused lowering by default (measured faster
+        # than the Pallas flash kernel at these N on v5e; see ops/sdpa.py),
+        # flash available via NUNIF_TPU_FLASH_SDPA=1
+        out = sdpa(q, k, v, scale=head_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)
 

@@ -1,0 +1,95 @@
+"""Scaled-dot-product attention with a flash (fused-softmax) TPU path.
+
+The depth ViTs (DINOv2 trunks of Depth-Anything v1/v2/v3, DepthPro, VDA;
+reference consumes them via torch SDPA — e.g.
+/root/reference/iw3/depth_anything_model.py:196-226) attend over
+N ≈ 1000-1500 patch tokens.  The naive XLA lowering materializes the
+fp32 (B, H, N, N) score tensor in HBM — at 1080p batch-16 ViT-S that is
+~0.7 GB *per layer* of write+read traffic, and profiling shows the
+softmax/matmul fusions dominating depth-inference time.
+
+On TPU we route through the Pallas flash-attention kernel shipped with
+JAX (jax.experimental.pallas.ops.tpu.flash_attention): scores live in
+VMEM tiles only, softmax is fused, HBM sees just Q/K/V/O.  Sequence
+lengths are padded to the kernel block size and the padding is masked
+out with segment ids (pad keys are invisible to real queries; pad query
+rows are sliced off afterwards).
+
+Measured on v5e (B=16, H=6, N=1373, d=64 — ViT-S @ 1080p batch 16):
+the XLA lowering runs 5.4 ms vs the flash kernel's 6.6 ms — XLA's own
+fusion already avoids enough of the HBM round trip at these sizes that
+the kernel's block-padding overhead (1373 -> 1536) loses.  The XLA path
+is therefore the default everywhere; set NUNIF_TPU_FLASH_SDPA=1 to route
+long sequences through the Pallas kernel instead (worth re-evaluating at
+N >= 4k, e.g. depth models on >2K inputs, where the N^2 score tensor no
+longer fits on-chip).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+# flash kernel block edge: sequences are padded up to a multiple of this.
+_BLOCK = 512
+# below this token count the XLA path's score tensor is small enough that
+# fusion overheads beat the kernel's padding waste
+_MIN_FLASH_N = 512
+
+
+def _xla_sdpa(q, k, v, scale):
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    n_pad = (-n) % _BLOCK
+    m_pad = (-m) % _BLOCK
+    if n_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    if m_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, m_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, m_pad), (0, 0)))
+    seg = None
+    if n_pad or m_pad:
+        # real tokens get id 1, padding id 0: padded keys are masked for
+        # every real query (padded query rows are cropped below)
+        q_ids = (jnp.arange(n + n_pad) < n).astype(jnp.int32)[None]
+        kv_ids = (jnp.arange(m + m_pad) < m).astype(jnp.int32)[None]
+        seg = SegmentIds(q=jnp.broadcast_to(q_ids, (b, n + n_pad)),
+                         kv=jnp.broadcast_to(kv_ids, (b, m + m_pad)))
+    bq = min(_BLOCK, n + n_pad)
+    bk = min(_BLOCK, m + m_pad)
+    sizes = BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1)
+    out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale,
+                          block_sizes=sizes)
+    return out[:, :, :n] if n_pad else out
+
+
+def sdpa(q, k, v, *, scale=None):
+    """softmax(q @ k^T * scale) @ v for (B, H, N, d) inputs.
+
+    Uses the fused flash kernel on TPU for long sequences; plain XLA
+    otherwise.  Output dtype == q dtype; softmax always in fp32.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n, d = q.shape[-2], q.shape[-1]
+    use_flash = (os.environ.get("NUNIF_TPU_FLASH_SDPA") == "1"
+                 and jax.default_backend() == "tpu"
+                 and n >= _MIN_FLASH_N
+                 and d % 8 == 0)
+    if use_flash:
+        return _flash(q, k, v, float(scale))
+    return _xla_sdpa(q, k, v, scale)

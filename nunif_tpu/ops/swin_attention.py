@@ -287,7 +287,7 @@ def _attn_headpack(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
 def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
                   *, num_heads, head_dim, n_tokens, window, shift,
-                  n_wh, n_ww, block_windows, attn_variant):
+                  n_wh, n_ww, block_windows, attn_variant, shift_mode):
     N = n_tokens
     C = num_heads * head_dim
     BW = block_windows
@@ -312,19 +312,35 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         wr = (widx // n_ww) % n_wh                           # (BW, 1)
         wc = widx % n_ww
 
-        def region_of(tok):  # tok: in-window token index array
-            ti = tok // window
-            tj = tok % window
-            wrapped_r = jnp.where(
-                (wr == n_wh - 1) & (ti >= window - shift), 1, 0)
-            wrapped_c = jnp.where(
-                (wc == n_ww - 1) & (tj >= window - shift), 2, 0)
-            return wrapped_r + wrapped_c
+        if shift_mode == "pad":
+            # pad-shift: the grid is (n_wh, n_ww) over an image padded by
+            # `shift` top-left and `window-shift` bottom-right; a token is
+            # valid iff its global coords land in the unpadded extent.
+            # Masking invalid KEYS reproduces the roll+region-mask
+            # semantics exactly for every valid query (invalid-query rows
+            # are cropped by the caller).
+            h_valid = (n_wh - 1) * window
+            w_valid = (n_ww - 1) * window
+            t_col = jax.lax.broadcasted_iota(jnp.int32, (BW, ncol), 1) % N
+            row = wr * window - shift + t_col // window
+            col = wc * window - shift + t_col % window
+            kv = ((row >= 0) & (row < h_valid)
+                  & (col >= 0) & (col < w_valid))            # (BW, ncol)
+            same_region = kv[:, None, :]                     # (BW, 1, ncol)
+        else:
+            def region_of(tok):  # tok: in-window token index array
+                ti = tok // window
+                tj = tok % window
+                wrapped_r = jnp.where(
+                    (wr == n_wh - 1) & (ti >= window - shift), 1, 0)
+                wrapped_c = jnp.where(
+                    (wc == n_ww - 1) & (tj >= window - shift), 2, 0)
+                return wrapped_r + wrapped_c
 
-        t_row = jax.lax.broadcasted_iota(jnp.int32, (BW, N), 1)
-        t_col = jax.lax.broadcasted_iota(jnp.int32, (BW, ncol), 1) % N
-        same_region = (region_of(t_row)[:, :, None]
-                       == region_of(t_col)[:, None, :])      # (BW, N, ncol)
+            t_row = jax.lax.broadcasted_iota(jnp.int32, (BW, N), 1)
+            t_col = jax.lax.broadcasted_iota(jnp.int32, (BW, ncol), 1) % N
+            same_region = (region_of(t_row)[:, :, None]
+                           == region_of(t_col)[:, None, :])  # (BW, N, ncol)
 
     if attn_variant == "perhead":
         attn = _attn_perhead(qkv, bias_ref, same_region,
@@ -362,14 +378,22 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "window", "shift", "n_wh", "n_ww",
-                     "block_windows", "attn_variant", "interpret"))
+                     "block_windows", "attn_variant", "shift_mode",
+                     "interpret"))
 def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
                      bias, *, num_heads, window, shift, n_wh, n_ww,
-                     block_windows=None, attn_variant=None, interpret=False):
+                     block_windows=None, attn_variant=None,
+                     shift_mode="roll", interpret=False):
     """Whole swin block (norm='none') on pre-partitioned windows.
 
     x: (nw, N, C) tokens; weights in (in, out) layout; bias (heads, N, N)
     fp32.  Returns (nw, N, C) block output (attention + MLP + residuals).
+
+    shift_mode: "roll" = cyclic-shift windows with wrap-region masks
+    (classic swin); "pad" = the caller padded the image by `shift`
+    top-left / `window-shift` bottom-right instead (no roll relayout) and
+    out-of-extent keys are masked — numerically identical on the valid
+    region.
     """
     nw, N, C = x.shape
     head_dim = C // num_heads
@@ -383,9 +407,12 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     if attn_variant is None:
         attn_variant = _os.environ.get("NUNIF_TPU_SWIN_ATTN", "headpack")
     bw = min(block_windows, nw)
-    while nw % bw:
-        bw -= 1
-    grid = (nw // bw,)
+    pad_n = (-nw) % bw
+    if pad_n:
+        # keep the full block size and run a few garbage windows instead
+        # of shrinking bw (more grid steps costs more than 1 extra block)
+        x = jnp.pad(x, ((0, pad_n), (0, 0), (0, 0)))
+    grid = ((nw + pad_n) // bw,)
     hidden = wfc1.shape[1]
 
     dt = x.dtype
@@ -408,7 +435,8 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         functools.partial(
             _kernel_block, num_heads=num_heads, head_dim=head_dim,
             n_tokens=N, window=window, shift=shift, n_wh=n_wh, n_ww=n_ww,
-            block_windows=bw, attn_variant=attn_variant),
+            block_windows=bw, attn_variant=attn_variant,
+            shift_mode=shift_mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
@@ -429,7 +457,7 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         ],
         out_specs=pl.BlockSpec((bw, N, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nw, N, C), dt),
+        out_shape=jax.ShapeDtypeStruct((nw + pad_n, N, C), dt),
         # big blocks amortize per-grid-step overhead; raise the Mosaic
         # scoped-vmem budget accordingly (v5e has 128MB VMEM)
         compiler_params=pltpu.CompilerParams(
@@ -437,7 +465,7 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         interpret=interpret,
     )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
       wargs[3], bargs[3], bias_arg)
-    return out
+    return out[:nw] if pad_n else out
 
 
 # ---------------------------------------------------------------------------

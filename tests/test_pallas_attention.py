@@ -91,6 +91,48 @@ def test_image_kernel_matches_xla_path(shift):
 
 
 @pytest.mark.parametrize("variant", ["perhead", "headpack"])
+def test_fused_swin_block_pad_shift_matches_module(variant):
+    """pad-shift kernel orchestration (no jnp.roll; padded grid + key
+    masking) == the roll-based module path on the valid region."""
+    from nunif_tpu.ops.swin_attention import fused_swin_block
+    from nunif_tpu.modules.attention import (SwinTransformerBlock,
+                                             relative_position_index)
+
+    shift, ws, n, c = 3, 6, 36, 96
+    blk = SwinTransformerBlock(c, 6, ws, shift_size=shift, norm="none")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 24, 36, c)), jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(blk.apply({"params": params}, x))
+
+    b, hh, ww_ = 2, 24, 36
+    nh, nw = hh // ws, ww_ // ws
+    nh2, nw2 = nh + 1, nw + 1
+    xp = jnp.pad(x, ((0, 0), (shift, ws - shift), (shift, ws - shift),
+                     (0, 0)))
+    xw = xp.reshape(b, nh2, ws, nw2, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(b * nh2 * nw2, n, c)
+    a = params["attn"]
+    m = params["mlp"]
+    idx = relative_position_index(ws, ws)
+    rel = a["relative_position_bias_table"][idx.reshape(-1)] \
+        .reshape(n, n, 6).transpose(2, 0, 1)
+    out = fused_swin_block(
+        xw, a["qkv"]["kernel"], a["qkv"]["bias"],
+        a["proj"]["kernel"], a["proj"]["bias"],
+        m["fc1"]["kernel"], m["fc1"]["bias"],
+        m["fc2"]["kernel"], m["fc2"]["bias"],
+        jnp.asarray(rel, jnp.float32),
+        num_heads=6, window=ws, shift=shift, n_wh=nh2, n_ww=nw2,
+        attn_variant=variant, shift_mode="pad", block_windows=8,
+        interpret=True)
+    out = out.reshape(b, nh2, nw2, ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, nh2 * ws, nw2 * ws, c)
+    out = out[:, shift:shift + hh, shift:shift + ww_]
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["perhead", "headpack"])
 def test_fused_swin_block_matches_module(monkeypatch, variant):
     """v3 whole-block kernel (interpret mode) == unfused module path."""
     import numpy as np
