@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 
 class TestTransNetV2:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         from nunif_tpu.utils.transnetv2 import TransNetV2
         m = TransNetV2(F=4, D=64)  # tiny config for test speed
@@ -18,6 +19,7 @@ class TestTransNetV2:
 
 
 class TestU2NETP:
+    @pytest.mark.slow
     def test_forward(self):
         from nunif_tpu.utils.u2netp import U2NETP
         m = U2NETP()
@@ -91,6 +93,7 @@ class TestShotBoundary:
 
 
 class TestGenericCLIs:
+    @pytest.mark.slow
     def test_count_parameters(self, capsys):
         from nunif_tpu.cli.count_parameters import main
         assert main(["--arch", "waifu2x.vgg_7"]) == 0
@@ -144,6 +147,7 @@ class TestGenericCLIs:
 
 
 class TestL4SN:
+    @pytest.mark.slow
     def test_feature_levels(self):
         from nunif_tpu.dino.l4sn import L4SNFeature, l4sn_feature_loss
         m = L4SNFeature()
@@ -159,6 +163,7 @@ class TestL4SN:
 
 
 class TestImagenetModels:
+    @pytest.mark.slow
     def test_vgg11(self):
         from nunif_tpu.models import create_model
         import nunif_tpu.imagenet  # noqa
@@ -167,6 +172,7 @@ class TestImagenetModels:
         logits = m.apply_fn(p, jnp.zeros((2, 64, 64, 3)))
         assert logits.shape == (2, 10)
 
+    @pytest.mark.slow
     def test_swin_t(self):
         from nunif_tpu.models import create_model
         import nunif_tpu.imagenet  # noqa

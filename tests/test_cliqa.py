@@ -23,6 +23,7 @@ def jpeg_model():
 
 
 class TestModels:
+    @pytest.mark.slow
     def test_jpeg_quality_outputs(self, jpeg_model):
         m, p = jpeg_model
         q, s = m.apply_fn(p, jnp.zeros((2, 128, 128, 3)))

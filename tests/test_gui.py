@@ -175,6 +175,7 @@ class TestGuiServer:
             gui_server + "/api/settings?app=iw3").read())
         assert data["divergence"] == "2.5"
 
+    @pytest.mark.slow
     def test_waifu2x_job_end_to_end(self, gui_server):
         from PIL import Image
         body, ctype = _multipart(
@@ -249,6 +250,7 @@ def test_stereo_format_from_name():
 
 
 class TestGuiVideoJobs:
+    @pytest.mark.slow
     def test_stlizer_job(self, gui_server, tmp_path):
         """Server-side-path stabilization job via the GUI API."""
         from nunif_tpu.video import generate_video, VideoOutputConfig

@@ -134,6 +134,7 @@ def test_schedules():
     assert s3(25) == pytest.approx(0.01)
 
 
+@pytest.mark.slow
 def test_wd_mask_excludes_bias_and_norm():
     model = create_model("waifu2x.swin_unet_2x", base_dim=48)
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
