@@ -14,6 +14,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -272,12 +273,31 @@ class SwinTransformerBlock(nn.Module):
             # `shift` instead of jnp.roll: the wraparound roll costs ~3x a
             # plain partition copy at 1080p (measured 20 vs 6 ms/edge) and
             # pad+key-mask is numerically identical on the valid region.
-            from ..ops.swin_attention import fused_swin_block
+            from ..ops.swin_attention import (fused_swin_block,
+                                              fused_swin_block_image)
             table, (wqkv, bqkv), (wproj, bproj) = _AttnParams(
                 self.dim, self.num_heads, ws, name="attn")()
             (wfc1, bfc1), (wfc2, bfc2) = _MLPParams(
                 self.dim, int(self.dim * self.mlp_ratio), name="mlp")()
             rel_bias = expand_relative_bias(table, ws).astype(jnp.float32)
+            if os.environ.get("NUNIF_TPU_SWIN_IMG", "1") == "1":
+                # image-layout kernel: windows are formed in VMEM — no
+                # XLA partition/reverse copies around the block at all
+                # (measured 42->32 ms/block-edge shift=0, 51->36 shift=3
+                # at 1080p C=96; tools/bench_swin_img.py)
+                if shift > 0:
+                    xp = jnp.pad(x, ((0, 0), (shift, ws - shift),
+                                     (shift, ws - shift), (0, 0)))
+                    nh2, nw2 = nh + 1, nw + 1
+                else:
+                    xp, nh2, nw2 = x, nh, nw
+                y = fused_swin_block_image(
+                    xp, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
+                    rel_bias, num_heads=self.num_heads, window=ws,
+                    shift=shift, shift_mode="pad")
+                if shift > 0:
+                    y = y[:, shift:shift + hh, shift:shift + ww_]
+                return y
             if shift > 0:
                 nh2, nw2 = nh + 1, nw + 1
                 xp = jnp.pad(x, ((0, 0), (shift, ws - shift),

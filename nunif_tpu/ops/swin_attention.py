@@ -221,7 +221,7 @@ def _attn_perhead(qkv, bias_ref, same_region, *, num_heads, head_dim, dtype):
 
 
 def _attn_headpack(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
-                   dtype):
+                   dtype, vpu_denom=False):
     """Head-packed window attention: all heads in one wide pass pair.
 
     The per-head (N,hd)x(hd,N) dots are ~4%-utilized MXU passes (hd=16
@@ -275,25 +275,36 @@ def _attn_headpack(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
         preferred_element_type=jnp.float32)                  # (BW, N, C+H)
 
     denom = out_unnorm[:, :, C:]                             # (BW, N, H)
-    rmat = (jax.lax.broadcasted_iota(jnp.int32, (num_heads, C), 1) // head_dim
+    if vpu_denom:
+        # broadcast each head's denominator over its head_dim channels on
+        # the VPU (static lane slice + broadcast + concat — Mosaic has no
+        # general lane-repeat reshape) instead of a third batched MXU dot;
+        # the batched dots are issue-bound, the VPU is mostly idle here
+        denom_b = jnp.concatenate(
+            [jnp.broadcast_to(denom[:, :, h:h + 1],
+                              denom.shape[:2] + (head_dim,))
+             for h in range(num_heads)], axis=-1)            # (BW, N, C)
+    else:
+        rmat = (jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, C), 1) // head_dim
             == jax.lax.broadcasted_iota(
                 jnp.int32, (num_heads, C), 0)).astype(jnp.float32)
-    denom_b = jax.lax.dot_general(
-        denom, rmat, dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (BW, N, C)
+        denom_b = jax.lax.dot_general(
+            denom, rmat, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (BW, N, C)
     return (out_unnorm[:, :, :C] / denom_b).astype(dtype)
 
 
-def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
-                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
-                  *, num_heads, head_dim, n_tokens, window, shift,
-                  n_wh, n_ww, block_windows, attn_variant, shift_mode):
-    N = n_tokens
-    C = num_heads * head_dim
-    BW = block_windows
-    blk = pl.program_id(0)
+def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
+                   *, num_heads, head_dim, window, shift, n_wh, n_ww,
+                   attn_variant, shift_mode, out_dtype):
+    """Shared whole-block body on pre-formed windows.
 
-    x = x_ref[:]                                   # (BW, N, C)
+    x: (BW, N, C) window tokens in VMEM; wr/wc: (BW, 1) int32 global window
+    grid coordinates (for the arithmetic shift mask).  Returns (BW, N, C).
+    """
+    BW, N, C = x.shape
     xt = x.reshape(BW * N, C)
 
     # qkv projection: (BW*N, C) @ (C, 3C) — one well-shaped MXU pass per
@@ -307,10 +318,6 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     same_region = None
     if shift > 0:
         ncol = N if attn_variant == "perhead" else num_heads * N
-        widx = (blk * BW
-                + jax.lax.broadcasted_iota(jnp.int32, (BW, 1), 0))
-        wr = (widx // n_ww) % n_wh                           # (BW, 1)
-        wc = widx % n_ww
 
         if shift_mode == "pad":
             # pad-shift: the grid is (n_wh, n_ww) over an image padded by
@@ -346,10 +353,16 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         attn = _attn_perhead(qkv, bias_ref, same_region,
                              num_heads=num_heads, head_dim=head_dim,
                              dtype=x.dtype)
+    elif attn_variant.startswith("headgroup"):
+        G = int(attn_variant[len("headgroup"):] or "3")
+        attn = _attn_headgroup(qkv, bias_ref, same_region,
+                               num_heads=num_heads, head_dim=head_dim,
+                               group=G, dtype=x.dtype)
     else:
         attn = _attn_headpack(qkv, bias_ref, same_region,
                               num_heads=num_heads, head_dim=head_dim,
-                              dtype=x.dtype)
+                              dtype=x.dtype,
+                              vpu_denom=(attn_variant == "headpack_vd"))
     attn = attn.reshape(BW * N, C)
 
     # out projection + residual 1
@@ -371,8 +384,92 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         h1, wfc2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = (h2 + bfc2_ref[:][None].astype(jnp.float32)
-           + y1.astype(jnp.float32)).astype(out_ref.dtype)
-    out_ref[:] = out.reshape(BW, N, C)
+           + y1.astype(jnp.float32)).astype(out_dtype)
+    return out.reshape(BW, N, C)
+
+
+def _attn_headgroup(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
+                    group, dtype):
+    """Group-packed window attention: G heads per wide pass pair.
+
+    Full head-packing (_attn_headpack) inflates the scores weight to
+    (C, heads*N) — 2+ lane-tiles whose load cycles dominate the per-window
+    cost.  Packing G=3 heads keeps BOTH dots at ONE (<=128-lane) MXU tile:
+      scores_g: (N, G*hd) @ (G*hd, G*N)   — weight rows G*hd = 48
+      out_g:    (N, G*N) @ (G*N, G*hd+G)  — weight rows G*N = 108
+    Per window, total weight-load cycles drop from ~192+216 (headpack,
+    C=96) to ~96+216, and from ~768+432 (C=192) to ~192+432.
+    bias_ref layout: (N, heads*N) pre-scaled by log2(e) (same as headpack).
+    """
+    BW, N, _ = qkv.shape
+    C = num_heads * head_dim
+    G = group
+    n_groups = num_heads // G
+    gc = G * head_dim                                        # group channels
+    P = G * N                                                # group keys
+    LOG2E = 1.4426950408889634
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, dtype)
+
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (P, gc), 1) // head_dim
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (P, gc), 0) // N
+    hmask = (lane_head == row_head).astype(dtype)            # (P, gc)
+    onescols = (jax.lax.broadcasted_iota(jnp.int32, (P, G), 1)
+                == jax.lax.broadcasted_iota(
+                    jnp.int32, (P, G), 0) // N).astype(dtype)
+
+    outs = []
+    for g in range(n_groups):
+        c0 = g * gc
+        q = qkv[:, :, c0:c0 + gc]
+        k = qkv[:, :, C + c0:C + c0 + gc]
+        v = qkv[:, :, 2 * C + c0:2 * C + c0 + gc]
+        khat = jnp.tile(k, (1, G, 1)) * hmask[None]          # (BW, P, gc)
+        vhat = jnp.tile(v, (1, G, 1)) * hmask[None]
+
+        scores = jax.lax.dot_general(
+            q * scale, khat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (BW, N, P)
+        scores = scores + bias_ref[:, g * P:(g + 1) * P][None]
+        if same_region_col is not None:
+            sr = same_region_col[:, :, g * P:(g + 1) * P]
+            scores = jnp.where(sr, scores, scores - 100.0 * LOG2E)
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp2(jnp.maximum(scores - m, -100.0)).astype(dtype)
+
+        vhat_aug = jnp.concatenate(
+            [vhat, jnp.broadcast_to(onescols[None], (BW, P, G))], axis=-1)
+        out_un = jax.lax.dot_general(
+            e, vhat_aug, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (BW, N, gc+G)
+
+        denom = out_un[:, :, gc:]                            # (BW, N, G)
+        rmat = (jax.lax.broadcasted_iota(
+            jnp.int32, (G, gc), 1) // head_dim
+            == jax.lax.broadcasted_iota(
+                jnp.int32, (G, gc), 0)).astype(jnp.float32)
+        denom_b = jax.lax.dot_general(
+            denom, rmat, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (BW, N, gc)
+        outs.append((out_un[:, :, :gc] / denom_b).astype(dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
+                  *, num_heads, head_dim, n_tokens, window, shift,
+                  n_wh, n_ww, block_windows, attn_variant, shift_mode):
+    BW = block_windows
+    blk = pl.program_id(0)
+    widx = blk * BW + jax.lax.broadcasted_iota(jnp.int32, (BW, 1), 0)
+    wr = (widx // n_ww) % n_wh                               # (BW, 1)
+    wc = widx % n_ww
+    out_ref[:] = _block_compute(
+        x_ref[:], wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
+        num_heads=num_heads, head_dim=head_dim, window=window, shift=shift,
+        n_wh=n_wh, n_ww=n_ww, attn_variant=attn_variant,
+        shift_mode=shift_mode, out_dtype=out_ref.dtype)
 
 
 @functools.partial(
@@ -405,7 +502,7 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         # overrides for experiments with --xla_tpu_scoped_vmem_limit_kib
         block_windows = int(_os.environ.get("NUNIF_TPU_SWIN_BW", "32"))
     if attn_variant is None:
-        attn_variant = _os.environ.get("NUNIF_TPU_SWIN_ATTN", "headpack")
+        attn_variant = _default_variant(num_heads, shift)
     bw = min(block_windows, nw)
     pad_n = (-nw) % bw
     if pad_n:
@@ -466,6 +563,163 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
       wargs[3], bargs[3], bias_arg)
     return out[:nw] if pad_n else out
+
+
+# ---------------------------------------------------------------------------
+# v4: image-layout whole-block kernel — consumes (B, H, W, C) frames
+# directly; the window partition/reverse happens as VMEM relayouts inside
+# the kernel, so NO XLA-side reshape/transpose copies bracket the block
+# (profiled at ~9ms/block-edge of pure HBM layout traffic at 1080p).
+
+
+def _default_variant(num_heads, shift=0):
+    """Measured per-(C, shift) best (tools/bench_swin_kernel.py, v5e):
+    full head-packing wins at 6 heads (31.2 vs 33.6 ms/full-res layer);
+    at 12 heads its (C, heads*N) scores weight crosses 4 lane-tiles and
+    3-head grouping wins unshifted (15.5 vs 17.7 ms/half-res layer) but
+    loses shifted (18.5 vs 17.4 — the key mask triples per group)."""
+    import os as _os
+    env = _os.environ.get("NUNIF_TPU_SWIN_ATTN")
+    if env:
+        return env
+    return "headgroup3" if num_heads >= 12 and num_heads % 3 == 0 \
+        and shift == 0 else "headpack"
+
+
+def _kernel_block_img(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+                      wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
+                      out_ref, *, num_heads, head_dim, window, shift,
+                      n_wh, n_ww, rh, cw, row_groups, attn_variant,
+                      shift_mode):
+    ws = window
+    C = num_heads * head_dim
+    i = pl.program_id(0)                             # batch * row-group
+    j = pl.program_id(1)
+
+    x = x_ref[0]                                     # (rh*ws, cw*ws, C)
+    xw = x.reshape(rh, ws, cw, ws, C).transpose(0, 2, 1, 3, 4)
+    xw = xw.reshape(rh * cw, ws * ws, C)             # windows in VMEM
+
+    k = jax.lax.broadcasted_iota(jnp.int32, (rh * cw, 1), 0)
+    wr = (i % row_groups) * rh + k // cw             # global window row
+    wc = j * cw + k % cw
+
+    out = _block_compute(
+        xw, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
+        num_heads=num_heads, head_dim=head_dim, window=ws, shift=shift,
+        n_wh=n_wh, n_ww=n_ww, attn_variant=attn_variant,
+        shift_mode=shift_mode, out_dtype=out_ref.dtype)
+
+    y = out.reshape(rh, cw, ws, ws, C).transpose(0, 2, 1, 3, 4)
+    out_ref[0] = y.reshape(rh * ws, cw * ws, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "shift", "shift_mode",
+                     "block_rows", "block_cols", "attn_variant",
+                     "interpret"))
+def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
+                           bfc2, bias, *, num_heads, window, shift,
+                           block_rows=None, block_cols=None,
+                           attn_variant=None, shift_mode="pad",
+                           interpret=False):
+    """Whole swin block (norm='none') straight on an image-layout tensor.
+
+    x: (B, H, W, C) with H % window == 0 and W % window == 0 — for shifted
+    blocks the caller pads ``shift`` top-left / ``window - shift``
+    bottom-right exactly as for ``fused_swin_block(shift_mode='pad')`` and
+    crops after.  Windows never exist outside VMEM: each grid step reads a
+    (rh*ws, cw*ws, C) image block, forms its rh*cw windows with in-register
+    relayouts, runs the full block body, and writes the block back.
+    """
+    B, H, W, C = x.shape
+    ws = window
+    assert H % ws == 0 and W % ws == 0, (H, W, ws)
+    n_wh, n_ww = H // ws, W // ws
+    head_dim = C // num_heads
+
+    import os as _os
+    if block_rows is None:
+        block_rows = int(_os.environ.get("NUNIF_TPU_SWIN_RH", "1"))
+    if block_cols is None:
+        # measured best block widths (tools/bench_swin_img.py): 16 windows
+        # at C=96, 8 at C=192 — roughly constant VMEM per block
+        block_cols = int(_os.environ.get("NUNIF_TPU_SWIN_CW",
+                                         str(max(8, 1536 // C))))
+    if attn_variant is None:
+        attn_variant = _default_variant(num_heads, shift)
+    rh = min(block_rows, n_wh)
+    cw = min(block_cols, n_ww)
+    pad_r = (-n_wh) % rh
+    pad_c = (-n_ww) % cw
+    if pad_r or pad_c:
+        # run a few garbage windows instead of shrinking the block; window
+        # attention never crosses windows, so garbage windows can't
+        # contaminate real ones — the caller's crop discards them.  Mask
+        # extents below use the ORIGINAL n_wh/n_ww.
+        x = jnp.pad(x, ((0, 0), (0, pad_r * ws), (0, pad_c * ws), (0, 0)))
+    row_groups = (n_wh + pad_r) // rh
+    grid = (B * row_groups, (n_ww + pad_c) // cw)
+    hidden = wfc1.shape[1]
+    N = ws * ws
+
+    dt = x.dtype
+    wargs = [w.astype(dt) for w in (wqkv, wproj, wfc1, wfc2)]
+    bargs = [b.astype(jnp.float32) for b in (bqkv, bproj, bfc1, bfc2)]
+    if attn_variant == "perhead":
+        bias_arg = bias.astype(jnp.float32)
+        bias_spec = pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        LOG2E = 1.4426950408889634
+        bias_arg = (bias.astype(jnp.float32) * LOG2E) \
+            .transpose(1, 0, 2).reshape(N, num_heads * N)
+        bias_spec = pl.BlockSpec((N, num_heads * N), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_block_img, num_heads=num_heads, head_dim=head_dim,
+            window=ws, shift=shift, n_wh=n_wh, n_ww=n_ww,
+            rh=rh, cw=cw, row_groups=row_groups,
+            attn_variant=attn_variant, shift_mode=shift_mode),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, rh * ws, cw * ws, C),
+                         lambda i, j, rg=row_groups: (i // rg, i % rg, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hidden), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, C), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            bias_spec,
+        ],
+        out_specs=pl.BlockSpec((1, rh * ws, cw * ws, C),
+                               lambda i, j, rg=row_groups: (i // rg, i % rg,
+                                                            j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, (n_wh + pad_r) * ws, (n_ww + pad_c) * ws, C), dt),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
+      wargs[3], bargs[3], bias_arg)
+    if pad_r or pad_c:
+        out = out[:, :H, :W]
+    return out
 
 
 # ---------------------------------------------------------------------------

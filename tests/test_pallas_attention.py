@@ -90,7 +90,7 @@ def test_image_kernel_matches_xla_path(shift):
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["perhead", "headpack"])
+@pytest.mark.parametrize("variant", ["perhead", "headpack", "headpack_vd", "headgroup3", "headgroup2"])
 def test_fused_swin_block_pad_shift_matches_module(variant):
     """pad-shift kernel orchestration (no jnp.roll; padded grid + key
     masking) == the roll-based module path on the valid region."""
@@ -132,7 +132,7 @@ def test_fused_swin_block_pad_shift_matches_module(variant):
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["perhead", "headpack"])
+@pytest.mark.parametrize("variant", ["perhead", "headpack", "headpack_vd", "headgroup3", "headgroup2"])
 def test_fused_swin_block_matches_module(monkeypatch, variant):
     """v3 whole-block kernel (interpret mode) == unfused module path."""
     import numpy as np
@@ -174,4 +174,45 @@ def test_fused_swin_block_matches_module(monkeypatch, variant):
         out = out.reshape(1, 24, 36, 96)
         if shift:
             out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+
+@pytest.mark.parametrize("rh,cw", [(1, 4), (2, 3), (3, 7)])
+def test_fused_swin_block_image_matches_module(rh, cw):
+    """v4 image-layout kernel (windows formed in VMEM, interpret mode) ==
+    unfused module path, incl. uneven block grids (garbage-window pad)."""
+    from nunif_tpu.ops.swin_attention import fused_swin_block_image
+    from nunif_tpu.modules.attention import (SwinTransformerBlock,
+                                             relative_position_index)
+
+    ws, n, c = 6, 36, 96
+    for shift in (0, 3):
+        blk = SwinTransformerBlock(c, 6, ws, shift_size=shift, norm="none")
+        rng = np.random.default_rng(shift)
+        x = jnp.asarray(rng.normal(0, 0.5, (2, 30, 42, c)), jnp.float32)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        want = np.asarray(blk.apply({"params": params}, x))
+
+        hh, ww_ = x.shape[1], x.shape[2]
+        if shift:
+            xp = jnp.pad(x, ((0, 0), (shift, ws - shift),
+                             (shift, ws - shift), (0, 0)))
+        else:
+            xp = x
+        a, m = params["attn"], params["mlp"]
+        idx = relative_position_index(ws, ws)
+        rel = a["relative_position_bias_table"][idx.reshape(-1)] \
+            .reshape(n, n, 6).transpose(2, 0, 1)
+        out = fused_swin_block_image(
+            xp, a["qkv"]["kernel"], a["qkv"]["bias"],
+            a["proj"]["kernel"], a["proj"]["bias"],
+            m["fc1"]["kernel"], m["fc1"]["bias"],
+            m["fc2"]["kernel"], m["fc2"]["bias"],
+            jnp.asarray(rel, jnp.float32),
+            num_heads=6, window=ws, shift=shift, block_rows=rh,
+            block_cols=cw, shift_mode="pad", interpret=True)
+        if shift:
+            out = out[:, shift:shift + hh, shift:shift + ww_]
+        else:
+            out = out[:, :hh, :ww_]
         np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)

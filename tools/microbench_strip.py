@@ -51,7 +51,8 @@ def bench(fn, x, n=30):
     return (time.perf_counter() - t0) / n * 1e3
 
 
-def strip_call(kernel, rh, cw, **kw):
+def strip_call(kernel, _rh, _cw, **kw):
+    rh, cw = _rh, _cw
     grid = (nh // rh, nw // cw)
 
     @jax.jit
