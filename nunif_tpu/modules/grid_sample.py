@@ -156,6 +156,70 @@ def warp_x(x, delta_px, padding_mode: str = "border"):
     return (v0 * w0 + v1 * w1).astype(x.dtype)
 
 
+def _warp_x_kernel(x_ref, gx_ref, out_ref, *, S, W):
+    """Pallas body: offset-enumerated warp with the fp32 accumulator and
+    every hat-weight term VMEM-resident.  x_ref: (1, C, RH, W+2S+2) edge-
+    padded planar strip; gx_ref: (1, RH, W) clipped sample positions."""
+    import jax.numpy as _jnp
+    xp = x_ref[0]                                    # (C, RH, Wp)
+    gx = gx_ref[0]                                   # (RH, W)
+    base = jax.lax.broadcasted_iota(_jnp.int32, gx.shape, 1) \
+        .astype(_jnp.float32)                        # Mosaic iota is int-only
+    t = gx - base                                    # == delta, |t| bounded
+    acc = _jnp.zeros(out_ref.shape[1:], _jnp.float32)  # (C, RH, W)
+    for o in range(-S, S + 1):
+        w = _jnp.maximum(0.0, 1.0 - _jnp.abs(t - o))   # (RH, W)
+        acc = acc + xp[:, :, o + S:o + S + W].astype(_jnp.float32) * w[None]
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _warp_x_bounded_pallas(x, delta_px, max_shift: int, interpret=False):
+    """One-pass Pallas warp: the XLA chunked-accumulation form round-trips
+    the (B, C, H, W) fp32 accumulator through HBM at every optimization
+    barrier (profiled ~5.5ms/frame at 1080p batch 16 for warp+hats); here
+    HBM traffic is exactly read-x + read-gx + write-out."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+
+    B, H, W, C = x.shape
+    S = int(max_shift) + 1
+    base = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    gx = jnp.clip(base + delta_px.astype(jnp.float32), 0, W - 1)
+    compute = x.astype(jnp.bfloat16).transpose(0, 3, 1, 2)   # (B, C, H, W)
+    xp = jnp.concatenate(
+        [jnp.repeat(compute[..., :1], S, axis=3), compute,
+         jnp.repeat(compute[..., -1:], S, axis=3)], axis=3)  # (B,C,H,Wp)
+
+    RH = 8
+    pad_h = (-H) % RH
+    if pad_h:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        gx = jnp.pad(gx, ((0, 0), (0, pad_h), (0, 0)))
+    Hp = H + pad_h
+    Wp = W + 2 * S
+
+    out = pl.pallas_call(
+        functools.partial(_warp_x_kernel, S=S, W=W),
+        grid=(B, Hp // RH),
+        in_specs=[
+            pl.BlockSpec((1, C, RH, Wp), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RH, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, RH, W), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, Hp, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, gx)
+    if pad_h:
+        out = out[:, :, :H]
+    return out.transpose(0, 2, 3, 1).astype(x.dtype)
+
+
 def warp_x_bounded(x, delta_px, max_shift: int, padding_mode: str = "border"):
     """Horizontal bilinear backward warp for BOUNDED displacements.
 
@@ -168,8 +232,13 @@ def warp_x_bounded(x, delta_px, max_shift: int, padding_mode: str = "border"):
         out[x] = sum_o hat(gx(x) - (x+o)) * x_pad[x+o],  |o| <= max_shift+1
 
     Exactly equals ``warp_x`` (border padding) whenever |delta| <= max_shift.
+    On TPU the enumeration runs as a Pallas kernel with the accumulator in
+    VMEM (see _warp_x_bounded_pallas).
     """
     B, H, W, C = x.shape
+    if jax.default_backend() == "tpu" and padding_mode == "border" \
+            and C <= 8:
+        return _warp_x_bounded_pallas(x, delta_px, max_shift)
     S = int(max_shift) + 1
     base = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
     gx = jnp.clip(base + delta_px.astype(jnp.float32), 0, W - 1)

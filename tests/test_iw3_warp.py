@@ -420,3 +420,16 @@ class TestBoundedWarps:
         a = np.asarray(_warp_one(c, d, shift))
         b = np.asarray(_warp_one_bounded(c, d, shift, max_shift=4))
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_warp_x_bounded_pallas_matches_xla(self):
+        """The VMEM-resident Pallas warp (interpret mode) == the XLA
+        chunked-accumulation path, incl. H not divisible by the strip."""
+        from nunif_tpu.modules.grid_sample import (_warp_x_bounded_pallas,
+                                                   warp_x_bounded)
+        x = jnp.asarray(_rand((2, 11, 40, 3), 61))
+        delta = jnp.asarray((_rand((2, 11, 40), 62) * 10 - 5)
+                            .astype(np.float32))
+        a = np.asarray(warp_x_bounded(x, delta, max_shift=6))
+        b = np.asarray(_warp_x_bounded_pallas(x, delta, max_shift=6,
+                                              interpret=True))
+        np.testing.assert_allclose(a, b, atol=2e-6)
