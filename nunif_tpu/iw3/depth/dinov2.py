@@ -35,9 +35,9 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
-        # shared SDPA entry: XLA fused lowering by default (measured faster
-        # than the Pallas flash kernel at these N on v5e; see ops/sdpa.py),
-        # flash available via NUNIF_TPU_FLASH_SDPA=1
+        # shared SDPA entry: Pallas flash kernel by default on TPU (wins
+        # end-to-end at production batch; see ops/sdpa.py), XLA lowering
+        # via NUNIF_TPU_FLASH_SDPA=0
         out = sdpa(q, k, v, scale=head_dim ** -0.5)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         return nn.Dense(self.dim, dtype=x.dtype, name="proj")(out)

@@ -15,14 +15,12 @@ lengths are padded to the kernel block size and the padding is masked
 out with segment ids (pad keys are invisible to real queries; pad query
 rows are sliced off afterwards).
 
-Measured on v5e (B=16, H=6, N=1373, d=64 — ViT-S @ 1080p batch 16):
-the XLA lowering runs 5.4 ms vs the flash kernel's 6.6 ms — XLA's own
-fusion already avoids enough of the HBM round trip at these sizes that
-the kernel's block-padding overhead (1373 -> 1536) loses.  The XLA path
-is therefore the default everywhere; set NUNIF_TPU_FLASH_SDPA=1 to route
-long sequences through the Pallas kernel instead (worth re-evaluating at
-N >= 4k, e.g. depth models on >2K inputs, where the N^2 score tensor no
-longer fits on-chip).
+Measured on v5e: at B=16 the XLA lowering won narrowly (5.4 vs 6.6 ms
+per ViT-S layer pass — the flash kernel's block padding 1373 -> 1536
+loses at shallow batch), but at the production batch (32 frames, the
+iw3 bench point) the flash path wins end-to-end: 63.1 vs 61.5 fps.
+Flash is therefore the DEFAULT on TPU for n >= 512;
+NUNIF_TPU_FLASH_SDPA=0 forces the XLA lowering back.
 """
 from __future__ import annotations
 
@@ -86,7 +84,7 @@ def sdpa(q, k, v, *, scale=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n, d = q.shape[-2], q.shape[-1]
-    use_flash = (os.environ.get("NUNIF_TPU_FLASH_SDPA") == "1"
+    use_flash = (os.environ.get("NUNIF_TPU_FLASH_SDPA", "1") != "0"
                  and jax.default_backend() == "tpu"
                  and n >= _MIN_FLASH_N
                  and d % 8 == 0)

@@ -28,7 +28,7 @@ def main():
     model = create_model("waifu2x.swin_unet_2x")
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
-    prog = renderer.frame_program(1080, 1920, 3, tile_size=(592, 1936),
+    prog = renderer.frame_program(1080, 1920, 3, tile_size=(1120, 1936),
                                   batch_size=1)
     cksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.uint32)))
     rng = np.random.default_rng(0)
