@@ -193,6 +193,22 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
         # per-subpixel weight canvas (channel-independent): (.., s*s)
         blend_w = b2
 
+    if n_tiles == 1:
+        # single-tile fast path (the 1080p video hot path): the tile IS the
+        # padded frame and the blend weights cancel exactly in
+        # out*w/max(w,eps) (w >= 1/(blend_size+1) everywhere), so the whole
+        # canvas scatter/normalize machinery is a no-op — skip it.
+        def render_single(params, x_padded):
+            out = apply_fn(params,
+                           x_padded[None].astype(compute_dtype))[0]
+            out = out.astype(jnp.float32)
+            if s > 1:
+                out = out.reshape(out_th // s, out_tw // s,
+                                  out_channels * s * s)
+            return jnp.clip(out, 0.0, 1.0)
+
+        return jax.jit(render_single)
+
     def render(params, x_padded):
         # x_padded: (H_in, W_in, C) fp32, already replicate-padded to the grid
         in_o = jnp.asarray(in_origins)
