@@ -151,6 +151,12 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
     render returns the un-shuffled canvas — the caller shuffles ONCE after
     quantization.  The fp32 3-channel-minor shuffle per tile is the most
     layout-hostile op in the whole program (~27ms/tile at 4K on v5e).
+
+    Output-shape contract: the general path returns the full blend canvas
+    (y_buffer_h, y_buffer_w, C) [or its /s pre-shuffle layout]; the
+    n_tiles == 1 fast path returns the tile output (out_th, out_tw, C)
+    [likewise /s] directly — always >= the (y_h, y_w) valid extent, which
+    callers crop to.  Callers must not rely on the buffer shape itself.
     """
     apply_fn = _APPLY_FNS[apply_hash]
     compute_dtype = jnp.dtype(compute_dtype_name)

@@ -113,3 +113,24 @@ def test_rect_blend_filter_matches_square_rings():
     rect = make_blend_filter(2, 14, (64, 128), 4)
     assert rect.shape == (100, 228)
     np.testing.assert_allclose(rect[:, :50], sq[:, :50])
+
+
+def test_single_tile_fast_path_matches_general_and_simple():
+    """n_tiles == 1 skips the blend canvas (fast path); its output must equal
+    both the forced multi-tile general path and the clipped whole-image
+    render (ADVICE r2: the fast path previously had no coverage)."""
+    model = create_model("waifu2x.upconv_7")
+    params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    renderer = TiledRenderer(model, params, policy=FP32_POLICY)
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.1, 0.9, (50, 50, 3)).astype(np.float32)
+
+    y_single = np.asarray(renderer.render(x, tile_size=64, batch_size=1))
+    y_multi = np.asarray(renderer.render(x, tile_size=40, batch_size=2))
+    y_simple = np.asarray(
+        jnp.clip(simple_render(x, model, params, policy=FP32_POLICY), 0, 1))
+    assert y_single.shape == y_multi.shape == y_simple.shape == (100, 100, 3)
+    np.testing.assert_allclose(
+        y_single[16:-16, 16:-16], y_simple[16:-16, 16:-16], atol=3e-5)
+    np.testing.assert_allclose(
+        y_single[16:-16, 16:-16], y_multi[16:-16, 16:-16], atol=3e-5)

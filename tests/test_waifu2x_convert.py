@@ -1,5 +1,5 @@
-"""torch->flax conversion of waifu2x checkpoints: numeric parity for
-upconv_7/vgg_7, structure parity for swin_unet."""
+"""torch->flax conversion of waifu2x checkpoints: NUMERIC parity for
+every family here (upconv_7/vgg_7/cunet/swin_unet/v2/winc/wgmlp)."""
 import numpy as np
 import pytest
 
