@@ -1,5 +1,7 @@
-"""torch->flax conversion of depth backbones: Depth-Anything v2 full
-numeric parity and the VDA temporal motion module / temporal head."""
+"""torch->flax conversion of depth backbones: FULL-TREE numeric parity for
+Depth-Anything v2, ZoeDepth, Video-Depth-Anything and DA3-mono (each vs a
+hand-built torch oracle of the published architecture, DepthPro-bar), plus
+piecewise module parity and raw-checkpoint load paths."""
 import numpy as np
 import pytest
 
@@ -74,42 +76,6 @@ def test_vda_temporal_module_numeric_parity():
     got = np.asarray(fm.apply({"params": params}, xf))
     np.testing.assert_allclose(got.transpose(0, 1, 4, 2, 3), want,
                                atol=3e-5)
-
-
-def test_convert_vda_structure():
-    """Full VDA tree structure from a synthetic official-layout state
-    dict (ViT-S config)."""
-    from torchref.dinovit import (DinoVisionTransformer, TemporalModule,
-                                  DPTHead)
-    from nunif_tpu.iw3.depth.vda import VideoDepthAnything
-
-    torch.manual_seed(22)
-
-    class TorchVDAShell(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.pretrained = DinoVisionTransformer()
-            head = DPTHead(384, 64, (48, 96, 192, 384))
-            # VDA head layout: same pieces, prefix "head", plus motion
-            self.head = head
-            self.head.motion_modules = torch.nn.ModuleList([
-                TemporalModule(192, max_len=32),
-                TemporalModule(384, max_len=32),
-                TemporalModule(64, max_len=32),
-                TemporalModule(64, max_len=32)])
-
-    tm = TorchVDAShell()
-    sd = tm.state_dict()
-    params = tc.convert_vda(sd, "vits")
-
-    model = VideoDepthAnything(encoder="vits", num_frames=32)
-    x = jnp.zeros((1, 2, 56, 56, 3), jnp.float32)
-    ref = model.init(jax.random.PRNGKey(0), x)["params"]
-    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
-               jax.tree_util.tree_flatten_with_path(ref)[0]}
-    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
-               jax.tree_util.tree_flatten_with_path(params)[0]}
-    assert ref_map == got_map
 
 
 def test_da3mono_disparity_numeric_parity():
@@ -228,72 +194,6 @@ def test_zoedepth_bins_head_numeric_parity():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_convert_zoedepth_full_structure():
-    """Full ZoeD tree (MiDaS core nested at core.core.* + root bins head)
-    converts into the exact flax ZoeDepthNet tree."""
-    from torchref.beit import MidasBeit
-    from torchref.zoe_head import ZoeBinsHead
-    from nunif_tpu.iw3.depth.zoedepth import ZoeDepthNet
-
-    torch.manual_seed(32)
-
-    class Core(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.core = MidasBeit()
-
-    class TorchZoe(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.core = Core()
-            head = ZoeBinsHead()
-            for name, mod in head.named_children():
-                setattr(self, name, mod)
-
-    tm = TorchZoe()
-    params = tc.convert_zoedepth(tm.state_dict(), "beit_b_384")
-
-    model = ZoeDepthNet(core="beit_b_384")
-    x = jnp.zeros((1, 384, 384, 3), jnp.float32)
-    ref = model.init(jax.random.PRNGKey(0), x)["params"]
-    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
-               jax.tree_util.tree_flatten_with_path(ref)[0]}
-    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
-               jax.tree_util.tree_flatten_with_path(params)[0]}
-    assert ref_map == got_map
-
-
-def test_convert_da3_mono_structure():
-    """DA3 mono (DINOv2 + DPT out_dim=2 depth+sky head) reuses the DA
-    converter layout."""
-    from torchref.dinovit import DepthAnythingV2 as TorchDA
-    from nunif_tpu.models import create_model
-    import nunif_tpu.iw3  # noqa: F401
-
-    torch.manual_seed(33)
-    tm = TorchDA().eval()
-    sd = dict(tm.state_dict())
-    # widen the final 1-channel conv to the DA3 mono 2-channel head
-    w = sd["depth_head.scratch.output_conv2.2.weight"]
-    sd["depth_head.scratch.output_conv2.2.weight"] = w.repeat(2, 1, 1, 1)
-    sd["depth_head.scratch.output_conv2.2.bias"] = \
-        sd["depth_head.scratch.output_conv2.2.bias"].repeat(2)
-    params = tc.convert_depth_anything(sd, "vits")
-
-    model = create_model("iw3.depth_anything_v3_mono", encoder="vits") \
-        if "iw3.depth_anything_v3_mono" in __import__(
-            "nunif_tpu.models.register", fromlist=["x"])._models else None
-    if model is None:
-        from nunif_tpu.iw3.depth.da3 import DepthAnythingV3Mono
-        model = DepthAnythingV3Mono(encoder="vits")
-    ref = model.init_params(jax.random.PRNGKey(0), (1, 126, 126, 3))
-    ref_map = {jax.tree_util.keystr(p): v.shape for p, v in
-               jax.tree_util.tree_flatten_with_path(ref)[0]}
-    got_map = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in
-               jax.tree_util.tree_flatten_with_path(params)[0]}
-    assert ref_map == got_map
-
-
 def test_da3_loads_raw_safetensors(tmp_path):
     """DA3 mono load(checkpoint=<da3mono .safetensors>) converts the raw
     hub state dict (reference iw3/depth_anything_v3_model.py MODEL_FILES)."""
@@ -339,3 +239,97 @@ def test_depth_anything_loads_raw_pth(tmp_path):
     x = rng.uniform(size=(1, 70, 98, 3)).astype(np.float32)
     out = dm.infer(jnp.asarray(x))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zoedepth_full_tree_numeric_parity():
+    """FULL ZoeDepth tree (MiDaS BEiT core + metric-bins head) numeric
+    parity at the DepthPro bar (reference iw3/zoedepth_model.py:249
+    consumes this assembly via torch.hub): end-to-end forward on the same
+    weights, not just piecewise modules — assembly (resize flags, feature
+    ordering, residuals) is where silent drift hides."""
+    from torchref.beit import MidasBeit
+    from torchref.zoe_head import ZoeBinsHead
+    from nunif_tpu.iw3.depth.zoedepth import ZoeDepthNet
+
+    torch.manual_seed(35)
+
+    class Core(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.core = MidasBeit()
+
+    class TorchZoe(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.core = Core()
+            head = ZoeBinsHead()
+            for name, mod in head.named_children():
+                setattr(self, name, mod)
+            self._head = (head,)  # hidden from state_dict (tuple)
+
+        def forward(self, x):
+            rel, feats = self.core.core(x)
+            return self._head[0](rel, feats)
+
+    tm = TorchZoe().eval()
+    params = tc.convert_zoedepth(tm.state_dict(), "beit_b_384")
+
+    model = ZoeDepthNet(core="beit_b_384")
+    rng = np.random.default_rng(35)
+    x = rng.normal(0, 1, size=(1, 3, 384, 384)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # (1, 1, H, W)
+    got = np.asarray(model.apply_fn(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got[..., 0], want[:, 0], atol=5e-4,
+                               rtol=1e-3)
+
+
+def test_vda_full_tree_numeric_parity():
+    """FULL Video-Depth-Anything tree numeric parity: DINOv2 trunk + DPT
+    head + all 4 motion modules, T=2 frames end-to-end on the same
+    converted weights (reference consumes the assembly via torch.hub,
+    iw3/video_depth_anything_model.py:110-192)."""
+    from torchref.dinovit import VideoDepthAnythingTorch
+    from nunif_tpu.iw3.depth.vda import VideoDepthAnything
+
+    torch.manual_seed(36)
+    tm = VideoDepthAnythingTorch().eval()
+    with torch.no_grad():  # zero-init proj_out hides motion-module bugs
+        for mm in tm.head.motion_modules:
+            mm.temporal_transformer.proj_out.weight.normal_(std=0.05)
+            mm.temporal_transformer.proj_out.bias.normal_(std=0.05)
+    params = tc.convert_vda(tm.state_dict(), "vits")
+
+    model = VideoDepthAnything(encoder="vits", num_frames=32)
+    rng = np.random.default_rng(36)
+    x = rng.normal(0, 1, size=(1, 2, 3, 518, 518)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()  # (B, T, 1, H, W)
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 1, 3, 4, 2))))
+    np.testing.assert_allclose(got[..., 0], want[:, :, 0], atol=5e-4,
+                               rtol=1e-3)
+
+
+def test_da3_full_tree_numeric_parity():
+    """FULL DA3-mono tree numeric parity: DINOv2 trunk + 2-channel DPT
+    head -> (softplus depth, sigmoid sky) end-to-end (reference consumes
+    the assembly via torch.hub, iw3/depth_anything_v3_model.py)."""
+    from torchref.dinovit import DepthAnythingV3MonoTorch
+    from nunif_tpu.iw3.depth.da3 import DepthAnythingV3Mono
+
+    torch.manual_seed(37)
+    tm = DepthAnythingV3MonoTorch().eval()
+    params = tc.convert_depth_anything(tm.state_dict(), "vits")
+
+    model = DepthAnythingV3Mono(encoder="vits")
+    rng = np.random.default_rng(37)
+    x = rng.normal(0, 1, size=(1, 3, 518, 518)).astype(np.float32)
+    with torch.no_grad():
+        want_depth, want_sky = tm(torch.from_numpy(x))
+    got = model.apply_fn(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               want_depth.numpy(), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["sky"]),
+                               want_sky.numpy(), atol=5e-4, rtol=1e-3)

@@ -309,3 +309,103 @@ class TemporalModule(nn.Module):
         h = h.reshape(B, H * W, T, C).permute(0, 2, 3, 1)
         h = h.reshape(B, T, C, H, W)
         return res + h
+
+
+class VideoDepthAnythingTorch(nn.Module):
+    """FULL VDA tree oracle: DINOv2 per-frame trunk + DPT head with
+    AnimateDiff motion modules at levels 2/3 (after the resize pyramid)
+    and after refinenet4/refinenet3 — the published Video-Depth-Anything
+    assembly the reference consumes via torch.hub
+    (/root/reference/iw3/video_depth_anything_model.py:129)."""
+
+    def __init__(self, embed_dim=384, depth=12, num_heads=6, features=64,
+                 out_channels=(48, 96, 192, 384), idxs=(2, 5, 8, 11),
+                 pos_embed_size=37, max_len=32):
+        super().__init__()
+        self.idxs = list(idxs)
+        self.pretrained = DinoVisionTransformer(embed_dim, depth, num_heads,
+                                                pos_embed_size)
+        self.head = DPTHead(embed_dim, features, out_channels)
+        self.head.motion_modules = nn.ModuleList([
+            TemporalModule(out_channels[2], max_len=max_len),
+            TemporalModule(out_channels[3], max_len=max_len),
+            TemporalModule(features, max_len=max_len),
+            TemporalModule(features, max_len=max_len)])
+
+    def forward(self, x):
+        # x: (B, T, 3, H, W) -> (B, T, 1, H, W)
+        B, T = x.shape[:2]
+        feats, (ph, pw) = self.pretrained.get_intermediate_layers(
+            x.flatten(0, 1), self.idxs)
+        head = self.head
+        levels = []
+        for i, t in enumerate(feats):
+            z = t.transpose(1, 2).reshape(B * T, -1, ph, pw)
+            z = head.projects[i](z)
+            z = head.resize_layers[i](z)
+            levels.append(z)
+
+        def motion(i, z):
+            return head.motion_modules[i](
+                z.reshape(B, T, *z.shape[1:])).flatten(0, 1)
+
+        levels[2] = motion(0, levels[2])
+        levels[3] = motion(1, levels[3])
+        s = head.scratch
+        rn = [getattr(s, f"layer{i + 1}_rn")(levels[i]) for i in range(4)]
+        p4 = s.refinenet4(rn[3], size=rn[2].shape[2:])
+        p4 = motion(2, p4)
+        p3 = s.refinenet3(p4, rn[2], size=rn[1].shape[2:])
+        p3 = motion(3, p3)
+        p2 = s.refinenet2(p3, rn[1], size=rn[0].shape[2:])
+        p1 = s.refinenet1(p2, rn[0])
+        out = s.output_conv1(p1)
+        out = F.interpolate(out, size=(ph * 14, pw * 14), mode="bilinear",
+                            align_corners=True)
+        out = s.output_conv2(out)
+        return out.reshape(B, T, 1, ph * 14, pw * 14)
+
+
+class DepthAnythingV3MonoTorch(nn.Module):
+    """FULL DA3-mono tree oracle: DINOv2 trunk + DPT head with a raw
+    2-channel output (depth+sky; softplus/sigmoid applied OUTSIDE the
+    head) — the assembly the reference consumes via torch.hub
+    (/root/reference/iw3/depth_anything_v3_model.py)."""
+
+    def __init__(self, embed_dim=384, depth=12, num_heads=6, features=64,
+                 out_channels=(48, 96, 192, 384), idxs=(2, 5, 8, 11),
+                 pos_embed_size=37):
+        super().__init__()
+        self.idxs = list(idxs)
+        self.pretrained = DinoVisionTransformer(embed_dim, depth, num_heads,
+                                                pos_embed_size)
+        self.depth_head = DPTHead(embed_dim, features, out_channels)
+        # raw 2-channel head: same key layout (output_conv2.{0,2}), final
+        # ReLU removed, 2 output channels
+        self.depth_head.scratch.output_conv2 = nn.Sequential(
+            nn.Conv2d(features // 2, 32, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(32, 2, 1))
+
+    def forward(self, x):
+        feats, (ph, pw) = self.pretrained.get_intermediate_layers(
+            x, self.idxs)
+        head = self.depth_head
+        levels = []
+        for i, t in enumerate(feats):
+            z = t.transpose(1, 2).reshape(t.shape[0], -1, ph, pw)
+            z = head.projects[i](z)
+            z = head.resize_layers[i](z)
+            levels.append(z)
+        s = head.scratch
+        rn = [getattr(s, f"layer{i + 1}_rn")(levels[i]) for i in range(4)]
+        p4 = s.refinenet4(rn[3], size=rn[2].shape[2:])
+        p3 = s.refinenet3(p4, rn[2], size=rn[1].shape[2:])
+        p2 = s.refinenet2(p3, rn[1], size=rn[0].shape[2:])
+        p1 = s.refinenet1(p2, rn[0])
+        out = s.output_conv1(p1)
+        out = F.interpolate(out, size=(ph * 14, pw * 14), mode="bilinear",
+                            align_corners=True)
+        out = s.output_conv2(out)
+        depth = F.softplus(out[:, 0])
+        sky = torch.sigmoid(out[:, 1])
+        return depth, sky
