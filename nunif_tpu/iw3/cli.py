@@ -82,6 +82,9 @@ def create_parser():
                             "gbrp", "gbrp10le", "gbrp16le"])
     p.add_argument("--max-fps", type=float, default=30.0)
     p.add_argument("--video-batch", type=int, default=4)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard video frame batches over the first N "
+                        "devices (dp mesh; the reference's --gpu list)")
     p.add_argument("--ema-normalize", action="store_true",
                    help="EMA min-max depth normalization for video")
     p.add_argument("--ema-decay", type=float, default=0.75)
@@ -348,6 +351,15 @@ def import_main(args, cfg):
     return 0
 
 
+def _make_cli_mesh(args):
+    """--devices N > 1 -> dp mesh over the first N devices."""
+    if getattr(args, "devices", 1) and args.devices > 1:
+        import jax
+        from ..parallel.mesh import make_mesh
+        return make_mesh(devices=jax.devices()[:args.devices])
+    return None
+
+
 def main(argv=None):
     args = create_parser().parse_args(argv)
     from ..utils.pil_io import load_image, save_image
@@ -440,7 +452,8 @@ def main(argv=None):
                 start_time=args.start_time, end_time=args.end_time,
                 debug_depth=args.debug_depth,
                 convergence_mode=args.convergence_mode,
-                sod_checkpoint=args.sod_checkpoint)
+                sod_checkpoint=args.sod_checkpoint,
+                mesh=_make_cli_mesh(args))
         except Exception as e:
             if not args.skip_error:
                 raise

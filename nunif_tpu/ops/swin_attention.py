@@ -298,14 +298,21 @@ def _attn_headpack(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
 def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
                    *, num_heads, head_dim, window, shift, n_wh, n_ww,
-                   attn_variant, shift_mode, out_dtype):
+                   attn_variant, shift_mode, out_dtype, win_coords=None):
     """Shared whole-block body on pre-formed windows.
 
     x: (BW, N, C) window tokens in VMEM; wr/wc: (BW, 1) int32 global window
     grid coordinates (for the arithmetic shift mask).  Returns (BW, N, C).
+
+    win_coords (required for wpack variants): callable ``m -> (wr_m, wc_m)``
+    returning the global window grid coordinates of every element of a
+    (BW/G, G*m) packed layout with m lanes per window — masks for the
+    window-packed kernel are built directly at packed geometry because
+    Mosaic cannot relayout-reshape bool vectors across sublanes/lanes.
     """
     BW, N, C = x.shape
     xt = x.reshape(BW * N, C)
+    wpack = _wpack_of(attn_variant)
 
     # qkv projection: (BW*N, C) @ (C, 3C) — one well-shaped MXU pass per
     # block instead of an XLA matmul + layout copy + bias pass
@@ -313,11 +320,30 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         xt, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:][None].astype(jnp.float32)).astype(x.dtype)
-    qkv = qkv.reshape(BW, N, 3 * C)
+    if wpack:
+        # pre-grouped for the window-packed kernel: a free leading-dim
+        # reshape here replaces three in-VMEM sublane relayouts inside it
+        qkv = qkv.reshape(BW // wpack, wpack * N, 3 * C)
+    else:
+        qkv = qkv.reshape(BW, N, 3 * C)
 
     same_region = None
     if shift > 0:
         ncol = N if attn_variant == "perhead" else num_heads * N
+
+        def coords(m):
+            """Per-element (window_row, window_col, in-window token) for a
+            layout with m lanes per window: packed (BW/G, G*m) when wpack,
+            else (BW, m) using the kernel-supplied wr/wc."""
+            if wpack:
+                wr_m, wc_m = win_coords(m)
+                t = jax.lax.broadcasted_iota(
+                    jnp.int32, (BW // wpack, wpack * m), 1)
+                # lanes cycle j fastest within each window's m columns and
+                # m is a multiple of N, so the token index is just t % N
+                return wr_m, wc_m, t % N
+            t = jax.lax.broadcasted_iota(jnp.int32, (BW, m), 1) % N
+            return wr, wc, t
 
         if shift_mode == "pad":
             # pad-shift: the grid is (n_wh, n_ww) over an image padded by
@@ -328,28 +354,32 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             # are cropped by the caller).
             h_valid = (n_wh - 1) * window
             w_valid = (n_ww - 1) * window
-            t_col = jax.lax.broadcasted_iota(jnp.int32, (BW, ncol), 1) % N
-            row = wr * window - shift + t_col // window
-            col = wc * window - shift + t_col % window
+            wr_c, wc_c, tok = coords(ncol)
+            row = wr_c * window - shift + tok // window
+            col = wc_c * window - shift + tok % window
             kv = ((row >= 0) & (row < h_valid)
-                  & (col >= 0) & (col < w_valid))            # (BW, ncol)
-            same_region = kv[:, None, :]                     # (BW, 1, ncol)
+                  & (col >= 0) & (col < w_valid))   # (BW|BW/G, [G*]ncol)
+            same_region = kv[:, None, :]
         else:
-            def region_of(tok):  # tok: in-window token index array
+            def region_of(m):
+                wr_m, wc_m, tok = coords(m)
                 ti = tok // window
                 tj = tok % window
                 wrapped_r = jnp.where(
-                    (wr == n_wh - 1) & (ti >= window - shift), 1, 0)
+                    (wr_m == n_wh - 1) & (ti >= window - shift), 1, 0)
                 wrapped_c = jnp.where(
-                    (wc == n_ww - 1) & (tj >= window - shift), 2, 0)
+                    (wc_m == n_ww - 1) & (tj >= window - shift), 2, 0)
                 return wrapped_r + wrapped_c
 
-            t_row = jax.lax.broadcasted_iota(jnp.int32, (BW, N), 1)
-            t_col = jax.lax.broadcasted_iota(jnp.int32, (BW, ncol), 1) % N
-            same_region = (region_of(t_row)[:, :, None]
-                           == region_of(t_col)[:, None, :])  # (BW, N, ncol)
+            rows = region_of(N)                     # (BW|BW/G, [G*]N)
+            cols = region_of(ncol)                  # (BW|BW/G, [G*]ncol)
+            same_region = rows[:, :, None] == cols[:, None, :]
 
-    if attn_variant == "perhead":
+    if wpack:
+        attn = _attn_headpack_w(qkv, bias_ref, same_region,
+                                num_heads=num_heads, head_dim=head_dim,
+                                wpack=wpack, dtype=x.dtype)
+    elif attn_variant == "perhead":
         attn = _attn_perhead(qkv, bias_ref, same_region,
                              num_heads=num_heads, head_dim=head_dim,
                              dtype=x.dtype)
@@ -386,6 +416,97 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     out = (h2 + bfc2_ref[:][None].astype(jnp.float32)
            + y1.astype(jnp.float32)).astype(out_dtype)
     return out.reshape(BW, N, C)
+
+
+def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
+                     wpack, dtype):
+    """Window-packed head-packed attention: G windows share one dot pair.
+
+    The per-window MXU cost of the batched tiny dots is issue-latency
+    bound, NOT weight-load or FLOP bound: tools/microbench_mxu_dots.py
+    measures ~370-440 cycles per batch element for headpack (N=36,C=96),
+    its lane-padded variant, int8, AND a 3-window token pack — i.e. the
+    cost is per *dot instruction element*, independent of its size at
+    these shapes.  Packing G windows into one (G*N, C) @ (C, G*heads*N)
+    scores pass + one (G*N, P) PV pass amortizes that latency G ways:
+    measured 132 ns/window at G=3 vs 444 ns at G=1 (bf16, v5e).
+
+    Cross-window query/key pairs are computed but killed by a -30000
+    additive baked into the pre-tiled bias CONSTANT (no runtime mask
+    pass): after the row-max shift their exp2 is ~2^-100 ~ 8e-31, zero at
+    any useful tolerance, so the packed result equals the per-window one.
+
+    Layout — NO in-VMEM relayouts (Mosaic reshapes that merge batch into
+    sublanes are expensive and killed a g-major prototype):
+      * qkv arrives pre-grouped: (BW/G, G*N, 3C) — the caller merges G
+        windows into the leading dim, a free leading-dim reshape.
+      * packed key/value rows are h-major: row r = h*(G*N) + g*N + j, so
+        khat/vhat come straight out of jnp.tile(k, (1, heads, 1)) with no
+        reorder.
+    bias_ref: (G*N, heads*G*N) fp32, pre-scaled by log2(e), relative
+      position bias where the query and key window match and -30000
+      elsewhere (the cross-window kill mask baked into the constant).
+    same_region_col: packed shift mask, (BW/G, G*N | 1, heads*G*N) bool,
+      or None.
+    """
+    nb, NG, _ = qkv.shape
+    G = wpack
+    N = NG // G
+    C = num_heads * head_dim
+    P = num_heads * NG
+    LOG2E = 1.4426950408889634
+
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (P, C), 1) // head_dim
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (P, C), 0) // NG
+    hmask = (lane_head == row_head).astype(dtype)            # (P, C)
+
+    q = qkv[:, :, :C]
+    k = qkv[:, :, C:2 * C]
+    v = qkv[:, :, 2 * C:]
+    khat = jnp.tile(k, (1, num_heads, 1)) * hmask[None]      # (nb, P, C)
+    vhat = jnp.tile(v, (1, num_heads, 1)) * hmask[None]
+
+    scale = jnp.asarray(head_dim ** -0.5 * LOG2E, dtype)
+    scores = jax.lax.dot_general(
+        q * scale, khat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (nb, NG, P)
+    scores = scores + bias_ref[:][None]
+    if same_region_col is not None:
+        scores = jnp.where(same_region_col, scores, scores - 100.0 * LOG2E)
+
+    # row max comes from the (always unmasked) same-window block, so the
+    # shift is finite and cross-window entries clamp to exp2(-100) ~ 0
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp2(jnp.maximum(scores - m, -100.0)).astype(dtype)
+
+    # ones columns accumulate each head's softmax denominator in the PV
+    # matmul; h-major rows: row r belongs to head r // (G*N)
+    onescols = (jax.lax.broadcasted_iota(jnp.int32, (P, num_heads), 1)
+                == jax.lax.broadcasted_iota(jnp.int32, (P, num_heads), 0)
+                // NG).astype(dtype)
+    vhat_aug = jnp.concatenate(
+        [vhat, jnp.broadcast_to(onescols[None], (nb, P, num_heads))],
+        axis=-1)                                             # (nb, P, C+H)
+    out_unnorm = jax.lax.dot_general(
+        e, vhat_aug, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (nb, NG, C+H)
+
+    denom = out_unnorm[:, :, C:]                             # (nb, NG, H)
+    rmat = (jax.lax.broadcasted_iota(
+        jnp.int32, (num_heads, C), 1) // head_dim
+        == jax.lax.broadcasted_iota(
+            jnp.int32, (num_heads, C), 0)).astype(jnp.float32)
+    denom_b = jax.lax.dot_general(
+        denom, rmat, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (nb, NG, C)
+    return (out_unnorm[:, :, :C] / denom_b).astype(dtype)    # (nb, NG, C)
+
+
+def _wpack_of(attn_variant):
+    """wpack group size G of a 'wpack{G}' variant, else 0."""
+    if attn_variant.startswith("wpack"):
+        return int(attn_variant[len("wpack"):] or "3")
+    return 0
 
 
 def _attn_headgroup(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
@@ -455,6 +576,45 @@ def _attn_headgroup(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
     return jnp.concatenate(outs, axis=-1)
 
 
+def _bias_arg_for(attn_variant, bias, num_heads, N):
+    """(bias_arg, block_shape) for the kernel's bias input.
+
+    perhead: (heads, N, N) raw.  head-packed variants: (N, heads*N) with
+    log2(e) folded in.  wpack{G}: (G*N, heads*G*N) in the h-major packed
+    layout (col = h*(G*N) + g*N + j), with -30000 where the query and key
+    window differ — the cross-window kill mask baked into the constant so
+    the kernel runs NO mask pass.
+    """
+    if attn_variant == "perhead":
+        return bias.astype(jnp.float32), (num_heads, N, N)
+    LOG2E = 1.4426950408889634
+    base = (bias.astype(jnp.float32) * LOG2E) \
+        .transpose(1, 0, 2).reshape(N, num_heads * N)
+    G = _wpack_of(attn_variant)
+    if not G:
+        return base, (N, num_heads * N)
+    H = num_heads
+    # one-hot row/col maps (compile-time): row r = g*N+i -> base row i;
+    # col c = h*(G*N)+g'*N+j -> base col (h, j), tiled over g'
+    rsel = np.kron(np.ones((G, 1), np.float32), np.eye(N, dtype=np.float32))
+    ecol = np.kron(np.eye(H, dtype=np.float32),
+                   np.kron(np.ones((1, G), np.float32),
+                           np.eye(N, dtype=np.float32)))    # (H*N, H*G*N)
+    tiled = jnp.asarray(rsel) @ base @ jnp.asarray(ecol)    # (G*N, H*G*N)
+    gr = np.arange(G * N) // N
+    gc = (np.arange(H * G * N) // N) % G
+    bias_arg = jnp.where(jnp.asarray(gr[:, None] == gc[None, :]),
+                         tiled, -30000.0)
+    return bias_arg, (G * N, H * G * N)
+
+
+def _round_block_windows(bw, wpack):
+    """Largest block size <= bw compatible with the wpack group size."""
+    if wpack and bw % wpack:
+        bw = max(wpack, (bw // wpack) * wpack)
+    return bw
+
+
 def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref, out_ref,
                   *, num_heads, head_dim, n_tokens, window, shift,
@@ -464,12 +624,24 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     widx = blk * BW + jax.lax.broadcasted_iota(jnp.int32, (BW, 1), 0)
     wr = (widx // n_ww) % n_wh                               # (BW, 1)
     wc = widx % n_ww
+
+    G = _wpack_of(attn_variant)
+    win_coords = None
+    if G:
+        def win_coords(m):
+            # h-major packed lanes: window-in-group g = (t // N) % G for
+            # both the (G*N,) query rows and the (heads*G*N,) key columns
+            b = jax.lax.broadcasted_iota(jnp.int32, (BW // G, G * m), 0)
+            t = jax.lax.broadcasted_iota(jnp.int32, (BW // G, G * m), 1)
+            widx_m = blk * BW + b * G + (t // n_tokens) % G
+            return (widx_m // n_ww) % n_wh, widx_m % n_ww
+
     out_ref[:] = _block_compute(
         x_ref[:], wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
         num_heads=num_heads, head_dim=head_dim, window=window, shift=shift,
         n_wh=n_wh, n_ww=n_ww, attn_variant=attn_variant,
-        shift_mode=shift_mode, out_dtype=out_ref.dtype)
+        shift_mode=shift_mode, out_dtype=out_ref.dtype, win_coords=win_coords)
 
 
 @functools.partial(
@@ -503,7 +675,7 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         block_windows = int(_os.environ.get("NUNIF_TPU_SWIN_BW", "32"))
     if attn_variant is None:
         attn_variant = _default_variant(num_heads, shift)
-    bw = min(block_windows, nw)
+    bw = _round_block_windows(min(block_windows, nw), _wpack_of(attn_variant))
     pad_n = (-nw) % bw
     if pad_n:
         # keep the full block size and run a few garbage windows instead
@@ -515,18 +687,9 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
     dt = x.dtype
     wargs = [w.astype(dt) for w in (wqkv, wproj, wfc1, wfc2)]
     bargs = [b.astype(jnp.float32) for b in (bqkv, bproj, bfc1, bfc2)]
-    if attn_variant == "perhead":
-        bias_arg = bias.astype(jnp.float32)
-        bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        # pack to the head-packed kernel's (N, heads*N) score layout with
-        # the log2(e) softmax-domain scale folded in
-        LOG2E = 1.4426950408889634
-        bias_arg = (bias.astype(jnp.float32) * LOG2E) \
-            .transpose(1, 0, 2).reshape(N, num_heads * N)
-        bias_spec = pl.BlockSpec((N, num_heads * N), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    bias_arg, bshape = _bias_arg_for(attn_variant, bias, num_heads, N)
+    bias_spec = pl.BlockSpec(bshape, lambda i: (0,) * len(bshape),
+                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
@@ -604,12 +767,23 @@ def _kernel_block_img(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     wr = (i % row_groups) * rh + k // cw             # global window row
     wc = j * cw + k % cw
 
+    G = _wpack_of(attn_variant)
+    win_coords = None
+    if G:
+        def win_coords(m):
+            BWk = rh * cw
+            N = ws * ws
+            b = jax.lax.broadcasted_iota(jnp.int32, (BWk // G, G * m), 0)
+            t = jax.lax.broadcasted_iota(jnp.int32, (BWk // G, G * m), 1)
+            k_m = b * G + (t // N) % G               # window index in block
+            return ((i % row_groups) * rh + k_m // cw, j * cw + k_m % cw)
+
     out = _block_compute(
         xw, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
         num_heads=num_heads, head_dim=head_dim, window=ws, shift=shift,
         n_wh=n_wh, n_ww=n_ww, attn_variant=attn_variant,
-        shift_mode=shift_mode, out_dtype=out_ref.dtype)
+        shift_mode=shift_mode, out_dtype=out_ref.dtype, win_coords=win_coords)
 
     y = out.reshape(rh, cw, ws, ws, C).transpose(0, 2, 1, 3, 4)
     out_ref[0] = y.reshape(rh * ws, cw * ws, C)
@@ -652,6 +826,15 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
         attn_variant = _default_variant(num_heads, shift)
     rh = min(block_rows, n_wh)
     cw = min(block_cols, n_ww)
+    _g = _wpack_of(attn_variant)
+    if _g and (rh * cw) % _g:
+        # nearest block width that (a) keeps the wpack group count whole
+        # and (b) keeps the Mosaic sublane constraint (block pixel width
+        # divisible by 8) that the unpacked defaults already satisfy
+        cands = [c for c in range(4, max(2 * cw, _g * 4) + 1, 4)
+                 if (rh * c) % _g == 0 and (c * ws) % 8 == 0]
+        assert cands, (rh, cw, _g, ws)
+        cw = min(cands, key=lambda c: (abs(c - cw), -c))
     pad_r = (-n_wh) % rh
     pad_c = (-n_ww) % cw
     if pad_r or pad_c:
@@ -668,16 +851,9 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
     dt = x.dtype
     wargs = [w.astype(dt) for w in (wqkv, wproj, wfc1, wfc2)]
     bargs = [b.astype(jnp.float32) for b in (bqkv, bproj, bfc1, bfc2)]
-    if attn_variant == "perhead":
-        bias_arg = bias.astype(jnp.float32)
-        bias_spec = pl.BlockSpec((num_heads, N, N), lambda i, j: (0, 0, 0),
-                                 memory_space=pltpu.VMEM)
-    else:
-        LOG2E = 1.4426950408889634
-        bias_arg = (bias.astype(jnp.float32) * LOG2E) \
-            .transpose(1, 0, 2).reshape(N, num_heads * N)
-        bias_spec = pl.BlockSpec((N, num_heads * N), lambda i, j: (0, 0),
-                                 memory_space=pltpu.VMEM)
+    bias_arg, bshape = _bias_arg_for(attn_variant, bias, num_heads, N)
+    bias_spec = pl.BlockSpec(bshape, lambda i, j: (0,) * len(bshape),
+                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(

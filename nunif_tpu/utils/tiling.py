@@ -140,7 +140,8 @@ def make_blend_filter(scale: int, offset: int, tile_size,
 @functools.lru_cache(maxsize=64)
 def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
                           channels, out_channels, scale, offset, blend_size,
-                          tile_step_hw, compute_dtype_name, ps_factor=1):
+                          tile_step_hw, compute_dtype_name, ps_factor=1,
+                          mesh=None, n_frames=1):
     """Construct + jit the render program for one grid bucket.
 
     apply_hash is only part of the cache key; the actual callable is passed
@@ -160,6 +161,20 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
     """
     apply_fn = _APPLY_FNS[apply_hash]
     compute_dtype = jnp.dtype(compute_dtype_name)
+
+    if mesh is not None:
+        # dp over the tile/frame minibatch (reference: the multi-GPU
+        # inference wrapper scatters each minibatch across devices,
+        # nunif/models/data_parallel.py:8-38) — here a sharding constraint
+        # on the model-batch axis and XLA SPMD partitions the net
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        def _shard(t):
+            return jax.lax.with_sharding_constraint(
+                t, NamedSharding(mesh, _P(*(("dp",) + (None,) * (t.ndim - 1)))))
+    else:
+        def _shard(t):
+            return t
     tile_h, tile_w = tile_hw
     step_h, step_w = tile_step_hw
     out_th = tile_h * scale - offset * 2
@@ -204,9 +219,18 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
         # padded frame and the blend weights cancel exactly in
         # out*w/max(w,eps) (w >= 1/(blend_size+1) everywhere), so the whole
         # canvas scatter/normalize machinery is a no-op — skip it.
+        # n_frames > 1: the frame batch IS the model batch (and the dp
+        # shard axis when a mesh is given).
         def render_single(params, x_padded):
+            if n_frames > 1:
+                out = apply_fn(params, _shard(x_padded.astype(compute_dtype)))
+                out = out.astype(jnp.float32)
+                if s > 1:
+                    out = out.reshape(n_frames, out_th // s, out_tw // s,
+                                      out_channels * s * s)
+                return jnp.clip(out, 0.0, 1.0)
             out = apply_fn(params,
-                           x_padded[None].astype(compute_dtype))[0]
+                           _shard(x_padded[None].astype(compute_dtype)))[0]
             out = out.astype(jnp.float32)
             if s > 1:
                 out = out.reshape(out_th // s, out_tw // s,
@@ -216,23 +240,30 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
         return jax.jit(render_single)
 
     def render(params, x_padded):
-        # x_padded: (H_in, W_in, C) fp32, already replicate-padded to the grid
+        # x_padded: (H_in, W_in, C) fp32 — or (n_frames, H_in, W_in, C) —
+        # already replicate-padded to the grid
         in_o = jnp.asarray(in_origins)
         out_o = jnp.asarray(out_origins)
         valid_w = jnp.asarray(valid)
         blend_f = jnp.asarray(blend)
 
-        def extract(origin):
+        def extract(xp, origin):
             return jax.lax.dynamic_slice(
-                x_padded, (origin[0], origin[1], 0),
+                xp, (origin[0], origin[1], 0),
                 (tile_h, tile_w, channels))
 
-        tiles = jax.vmap(extract)(in_o)  # (n_padded, th, tw, C)
+        if n_frames > 1:
+            tiles = jax.vmap(lambda xp: jax.vmap(
+                lambda o: extract(xp, o))(in_o))(x_padded)
+            tiles = tiles.reshape(n_frames * n_padded,
+                                  tile_h, tile_w, channels)
+        else:
+            tiles = jax.vmap(lambda o: extract(x_padded, o))(in_o)
         tiles = tiles.astype(compute_dtype)
-        tiles = tiles.reshape(n_chunks, batch_size, tile_h, tile_w, channels)
+        tiles = tiles.reshape(-1, batch_size, tile_h, tile_w, channels)
 
         def run_chunk(tb):
-            return apply_fn(params, tb).astype(jnp.float32)
+            return apply_fn(params, _shard(tb)).astype(jnp.float32)
 
         outs = jax.lax.map(run_chunk, tiles)
 
@@ -241,58 +272,71 @@ def _build_render_program(apply_hash, h_blocks, w_blocks, tile_hw, batch_size,
             # C*s^2) layout; sub-pixel reorder deferred to the caller
             th_ps, tw_ps = out_th // s, out_tw // s
             cps = out_channels * s * s
-            outs = outs.reshape(n_padded, th_ps, tw_ps, cps)
+            outs = outs.reshape(-1, n_padded, th_ps, tw_ps, cps)
             blend_f_ps = jnp.asarray(blend_ps)
             blend_f_w = jnp.asarray(blend_w)
             out_o_ps = out_o // s
-            pixels0 = jnp.zeros((y_buffer_h // s, y_buffer_w // s, cps),
-                                jnp.float32)
-            weights0 = jnp.zeros((y_buffer_h // s, y_buffer_w // s, s * s),
-                                 jnp.float32)
 
-            def body_ps(carry, inp):
+            def blend_ps_frame(outs_f):
+                pixels0 = jnp.zeros((y_buffer_h // s, y_buffer_w // s, cps),
+                                    jnp.float32)
+                weights0 = jnp.zeros(
+                    (y_buffer_h // s, y_buffer_w // s, s * s), jnp.float32)
+
+                def body_ps(carry, inp):
+                    pixels, weights = carry
+                    out, oo, v = inp
+                    cur_p = jax.lax.dynamic_slice(
+                        pixels, (oo[0], oo[1], 0), (th_ps, tw_ps, cps))
+                    cur_w = jax.lax.dynamic_slice(
+                        weights, (oo[0], oo[1], 0), (th_ps, tw_ps, s * s))
+                    pixels = jax.lax.dynamic_update_slice(
+                        pixels, cur_p + out * (blend_f_ps * v),
+                        (oo[0], oo[1], 0))
+                    weights = jax.lax.dynamic_update_slice(
+                        weights, cur_w + blend_f_w * v, (oo[0], oo[1], 0))
+                    return (pixels, weights), None
+
+                (pixels, weights), _ = jax.lax.scan(
+                    body_ps, (pixels0, weights0), (outs_f, out_o_ps, valid_w))
+                wfull = jnp.repeat(weights[:, :, None, :], out_channels,
+                                   axis=2).reshape(pixels.shape)
+                y = pixels / jnp.maximum(wfull, 1e-6)
+                return jnp.clip(y, 0.0, 1.0)  # (H/s, W/s, C*s^2)
+
+            if n_frames > 1:
+                return jax.vmap(blend_ps_frame)(outs)
+            return blend_ps_frame(outs[0])
+
+        outs = outs.reshape(-1, n_padded, out_th, out_tw, out_channels)
+
+        def blend_frame(outs_f):
+            pixels0 = jnp.zeros((y_buffer_h, y_buffer_w, out_channels),
+                                jnp.float32)
+            weights0 = jnp.zeros((y_buffer_h, y_buffer_w, 1), jnp.float32)
+
+            def body(carry, inp):
                 pixels, weights = carry
                 out, oo, v = inp
+                w = blend_f * v
                 cur_p = jax.lax.dynamic_slice(
-                    pixels, (oo[0], oo[1], 0), (th_ps, tw_ps, cps))
+                    pixels, (oo[0], oo[1], 0), (out_th, out_tw, out_channels))
                 cur_w = jax.lax.dynamic_slice(
-                    weights, (oo[0], oo[1], 0), (th_ps, tw_ps, s * s))
+                    weights, (oo[0], oo[1], 0), (out_th, out_tw, 1))
                 pixels = jax.lax.dynamic_update_slice(
-                    pixels, cur_p + out * (blend_f_ps * v), (oo[0], oo[1], 0))
+                    pixels, cur_p + out * w, (oo[0], oo[1], 0))
                 weights = jax.lax.dynamic_update_slice(
-                    weights, cur_w + blend_f_w * v, (oo[0], oo[1], 0))
+                    weights, cur_w + w, (oo[0], oo[1], 0))
                 return (pixels, weights), None
 
             (pixels, weights), _ = jax.lax.scan(
-                body_ps, (pixels0, weights0), (outs, out_o_ps, valid_w))
-            wfull = jnp.repeat(weights[:, :, None, :], out_channels,
-                               axis=2).reshape(pixels.shape)
-            y = pixels / jnp.maximum(wfull, 1e-6)
-            return jnp.clip(y, 0.0, 1.0)  # (H/s, W/s, C*s^2)
+                body, (pixels0, weights0), (outs_f, out_o, valid_w))
+            y = pixels / jnp.maximum(weights, 1e-6)
+            return jnp.clip(y, 0.0, 1.0)
 
-        outs = outs.reshape(n_padded, out_th, out_tw, out_channels)
-
-        pixels0 = jnp.zeros((y_buffer_h, y_buffer_w, out_channels), jnp.float32)
-        weights0 = jnp.zeros((y_buffer_h, y_buffer_w, 1), jnp.float32)
-
-        def body(carry, inp):
-            pixels, weights = carry
-            out, oo, v = inp
-            w = blend_f * v
-            cur_p = jax.lax.dynamic_slice(
-                pixels, (oo[0], oo[1], 0), (out_th, out_tw, out_channels))
-            cur_w = jax.lax.dynamic_slice(
-                weights, (oo[0], oo[1], 0), (out_th, out_tw, 1))
-            pixels = jax.lax.dynamic_update_slice(
-                pixels, cur_p + out * w, (oo[0], oo[1], 0))
-            weights = jax.lax.dynamic_update_slice(
-                weights, cur_w + w, (oo[0], oo[1], 0))
-            return (pixels, weights), None
-
-        (pixels, weights), _ = jax.lax.scan(
-            body, (pixels0, weights0), (outs, out_o, valid_w))
-        y = pixels / jnp.maximum(weights, 1e-6)
-        return jnp.clip(y, 0.0, 1.0)
+        if n_frames > 1:
+            return jax.vmap(blend_frame)(outs)
+        return blend_frame(outs[0])
 
     return jax.jit(render)
 
@@ -312,8 +356,17 @@ class TiledRenderer:
     (h_blocks, w_blocks, tile, batch) bucket.
     """
 
-    def __init__(self, model, params, policy: Policy = DEFAULT_POLICY):
+    def __init__(self, model, params, policy: Policy = DEFAULT_POLICY,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a "dp" axis — the tile
+        (and frame) minibatch shards across it, the TPU equivalent of the
+        reference's multi-GPU inference wrapper
+        (nunif/models/data_parallel.py:8-38).  Params are replicated."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import replicate_params
+            params = replicate_params(mesh, params)
         self.params = params
         self.policy = policy
         self._apply_key = (model.model_name, id(model), jnp.dtype(policy.compute_dtype).name)
@@ -347,13 +400,14 @@ class TiledRenderer:
             self._apply_key, cfg.h_blocks, cfg.w_blocks, tile_hw,
             int(batch_size), c, out_channels, cfg.scale, cfg.offset,
             cfg.blend_size, (cfg.input_tile_step_h, cfg.input_tile_step_w),
-            jnp.dtype(self.policy.compute_dtype).name)
+            jnp.dtype(self.policy.compute_dtype).name, mesh=self.mesh)
         y_full = program(self.params, x_padded)
         return y_full[:cfg.y_h, :cfg.y_w, :]
 
     def frame_program(self, h: int, w: int, c: int = 3,
                       tile_size=None, batch_size=None,
-                      in_dtype="uint8", out_dtype="uint8"):
+                      in_dtype="uint8", out_dtype="uint8",
+                      frame_batch: int = 1):
         """Fully-fused fixed-geometry render: pad -> tiles -> model -> blend
         -> crop -> quantize, ONE jitted program, uint8 in/out by default.
 
@@ -361,6 +415,11 @@ class TiledRenderer:
         host->HBM as 1 byte/px and the result leaves as 1 byte/px — the
         float conversion both ways runs on device.  Returns
         ``program(params, frame) -> (h*scale, w*scale, C_out)``.
+
+        ``frame_batch`` > 1: the program takes (frame_batch, h, w, c) and
+        returns (frame_batch, h*scale, w*scale, C_out) — more tiles in
+        flight per dispatch (video pipelining), and the frame axis is the
+        dp shard axis when the renderer has a mesh.
         """
         model = self.model
         if isinstance(tile_size, (tuple, list)):
@@ -392,11 +451,13 @@ class TiledRenderer:
         else:
             apply_key = self._apply_key
 
+        fb = int(frame_batch)
         inner = _build_render_program(
             apply_key, cfg.h_blocks, cfg.w_blocks, tile_hw,
             batch_size, c, out_channels, cfg.scale, cfg.offset,
             cfg.blend_size, (cfg.input_tile_step_h, cfg.input_tile_step_w),
-            jnp.dtype(self.policy.compute_dtype).name, ps_factor=ps)
+            jnp.dtype(self.policy.compute_dtype).name, ps_factor=ps,
+            mesh=self.mesh, n_frames=fb)
         in_dt = jnp.dtype(in_dtype)
         out_dt = jnp.dtype(out_dtype)
 
@@ -407,6 +468,10 @@ class TiledRenderer:
                 return jnp.round(y * 65535.0).astype(jnp.uint16)
             return y
 
+        pad_sp = ((top, bottom), (left, right), (0, 0))
+        if fb > 1:
+            pad_sp = ((0, 0),) + pad_sp
+
         @jax.jit
         def program(params, frame):
             x = frame
@@ -414,16 +479,20 @@ class TiledRenderer:
                 x = x.astype(jnp.float32) * (1.0 / 255.0)
             elif in_dt == jnp.uint16:
                 x = x.astype(jnp.float32) * (1.0 / 65535.0)
-            x = jnp.pad(x, ((top, bottom), (left, right), (0, 0)),
-                        mode="edge")
+            x = jnp.pad(x, pad_sp, mode="edge")
             if ps > 1:
-                y = quantize(inner(params, x))  # (H/s, W/s, C*s^2) int
-                hs, ws_, _ = y.shape
+                y = quantize(inner(params, x))  # (.., H/s, W/s, C*s^2) int
+                hs, ws_ = y.shape[-3], y.shape[-2]
+                if fb > 1:
+                    y = y.reshape(fb, hs, ws_, out_channels, ps, ps)
+                    y = y.transpose(0, 1, 4, 2, 5, 3)
+                    y = y.reshape(fb, hs * ps, ws_ * ps, out_channels)
+                    return y[:, :cfg.y_h, :cfg.y_w, :]
                 y = y.reshape(hs, ws_, out_channels, ps, ps)
                 y = y.transpose(0, 3, 1, 4, 2)
                 y = y.reshape(hs * ps, ws_ * ps, out_channels)
                 return y[:cfg.y_h, :cfg.y_w, :]
-            y = inner(params, x)[:cfg.y_h, :cfg.y_w, :]
+            y = inner(params, x)[..., :cfg.y_h, :cfg.y_w, :]
             return quantize(y)
 
         return program

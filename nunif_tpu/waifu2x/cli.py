@@ -54,6 +54,9 @@ def create_parser():
     p.add_argument("--tile-size", type=_tile_size_arg, default=None,
                    help="tile size: int or HxW (e.g. 592x1936)")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard tile minibatches over the first N devices "
+                        "(dp mesh; the reference's multi-GPU --gpu list)")
     p.add_argument("--tta", action="store_true")
     p.add_argument("--format", "-f", default="png",
                    choices=["png", "webp", "jpeg"])
@@ -156,7 +159,12 @@ def _build_runtime(args) -> Waifu2x:
         styled = os.path.join(model_dir, args.style)
         if os.path.isdir(styled):
             model_dir = styled
-    w2x = Waifu2x(model_dir=model_dir)
+    mesh = None
+    if getattr(args, "devices", 1) and args.devices > 1:
+        import jax
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(devices=jax.devices()[:args.devices])
+    w2x = Waifu2x(model_dir=model_dir, mesh=mesh)
     if args.arch:
         import jax
         from ..models import create_model

@@ -13,7 +13,8 @@ REFERENCE_WAIFU2X_FLAGS = [
 ]
 
 NOT_APPLICABLE = {
-    "gpu": "device selection is a JAX mesh concern; no CUDA device ids",
+    "gpu": "device selection is a JAX mesh concern (--devices builds a dp "
+           "mesh over the first N devices); no CUDA device ids",
     "compile": "jit is always on; no eager fallback",
     "disable-compile": "see compile",
     "disable-amp": "bf16 policy is per renderer, not a global toggle",

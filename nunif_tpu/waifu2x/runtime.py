@@ -41,9 +41,14 @@ CHECKPOINT_EXT = ".nztm"
 
 
 class Waifu2x:
-    def __init__(self, model_dir: str, policy: Policy = DEFAULT_POLICY):
+    def __init__(self, model_dir: str, policy: Policy = DEFAULT_POLICY,
+                 mesh=None):
+        """``mesh``: optional dp mesh — every renderer shards its tile
+        minibatch over it (the reference data-parallelizes inference when
+        --gpu lists several ids, nunif/models/register.py:44-49)."""
         self.model_dir = model_dir
         self.policy = policy
+        self.mesh = mesh
         self._slots = {}  # (method, noise_level) -> (model, params, renderer)
 
     # ------------------------------------------------------------- loading
@@ -60,7 +65,8 @@ class Waifu2x:
             return self._slots[key]
         path = self.model_path(*key)
         model, params, _meta = load_model(path)
-        renderer = TiledRenderer(model, params, policy=self.policy)
+        renderer = TiledRenderer(model, params, policy=self.policy,
+                                 mesh=self.mesh)
         self._slots[key] = (model, params, renderer)
         logger.debug("waifu2x: loaded %s for %s", path, key)
         return self._slots[key]
@@ -76,7 +82,8 @@ class Waifu2x:
         """Install an in-memory model (tests / random init / converted)."""
         key = (method, noise_level if method.startswith("noise") else None)
         self._slots[key] = (model, params,
-                            TiledRenderer(model, params, policy=self.policy))
+                            TiledRenderer(model, params, policy=self.policy,
+                                          mesh=self.mesh))
 
     # ----------------------------------------------------------- rendering
     def render(self, x, method: str, noise_level: Optional[int] = None,

@@ -90,7 +90,7 @@ def test_image_kernel_matches_xla_path(shift):
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["perhead", "headpack", "headpack_vd", "headgroup3", "headgroup2"])
+@pytest.mark.parametrize("variant", ["perhead", "headpack", "headpack_vd", "headgroup3", "headgroup2", "wpack2", "wpack3"])
 def test_fused_swin_block_pad_shift_matches_module(variant):
     """pad-shift kernel orchestration (no jnp.roll; padded grid + key
     masking) == the roll-based module path on the valid region."""
@@ -132,7 +132,7 @@ def test_fused_swin_block_pad_shift_matches_module(variant):
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["perhead", "headpack", "headpack_vd", "headgroup3", "headgroup2"])
+@pytest.mark.parametrize("variant", ["perhead", "headpack", "headpack_vd", "headgroup3", "headgroup2", "wpack2", "wpack3"])
 def test_fused_swin_block_matches_module(monkeypatch, variant):
     """v3 whole-block kernel (interpret mode) == unfused module path."""
     import numpy as np
