@@ -114,9 +114,108 @@ def bench_iw3():
     }))
 
 
+def bench_iw3_vda():
+    """Driver config #5 (BASELINE.json.configs[4], BENCH_METRIC=iw3_vda):
+    the ASSEMBLED 1080p pipeline — stlizer stabilization (SuperPoint
+    keypoint analysis + affine stabilization warp) -> Video-Depth-Anything
+    per-frame streaming depth -> MLBW warp + inpaint -> half-SBS.
+
+    All stages run at architecture-exact shapes with random init
+    (identical compute to converted weights).  The per-frame MLBW inpaint
+    variant is used (the clip-queued video variant adds a 12-frame lag,
+    not per-frame device work).  Frames are device-resident uint8 like
+    bench_iw3 (this harness's ~32 MB/s h2d tunnel measures the tunnel,
+    not the chip; BENCH_H2D=1 opts in).
+    """
+    from nunif_tpu.iw3.pipeline import StereoConfig
+    from nunif_tpu.iw3.composition import StereoFormat
+    from nunif_tpu.iw3.depth import create_depth_model
+    from nunif_tpu.iw3.video import Iw3FrameProcessor
+    from nunif_tpu.iw3.cli import create_stereo_model
+    from nunif_tpu.utils.superpoint import SuperPoint, apply_transform
+    from nunif_tpu.modules.resize import resize as _resize
+
+    cfg = StereoConfig(method="mlbw_l2_inpaint", divergence=2.0,
+                      convergence=0.5,
+                      format=StereoFormat.from_name("half_sbs"))
+    depth_model = create_depth_model(
+        os.environ.get("BENCH_IW3_DEPTH", "VDA_Stream_S")).load()
+    side_model, side_params = create_stereo_model(cfg.method)
+    proc = Iw3FrameProcessor(cfg, depth_model, side_model, side_params)
+
+    # stlizer stage: SuperPoint detect at the analysis resolution (320
+    # short side, stlizer/pipeline.py) + full-res stabilization warp
+    sp = SuperPoint(max_num_keypoints=512)
+    sp_params = sp.init_params(jax.random.PRNGKey(0), (1, 64, 64, 1))
+    rh, rw = 320, 568  # 1080p * (320/1080), /8*8
+
+    @jax.jit
+    def stlizer_stage(batch_u8, shift, angle):
+        x = batch_u8.astype(jnp.float32) / 255.0
+        xs = _resize(x, rh, rw, mode="bilinear", antialias=True)
+        kp = sp.apply_fn(sp_params, xs)
+        B = batch_u8.shape[0]
+        center = jnp.broadcast_to(
+            jnp.asarray([[960.0, 540.0]], jnp.float32), (B, 2))
+        y = apply_transform(x, shift, jnp.ones((B,), jnp.float32), angle,
+                            center)
+        return (jnp.round(y * 255.0).astype(jnp.uint8),
+                kp["keypoints"][0, 0, 0])
+
+    cksum = jax.jit(lambda y: jnp.sum((y * 255).astype(jnp.uint32)))
+    rng = np.random.default_rng(0)
+    bsz = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = (rng.uniform(size=(bsz, 1080, 1920, 3)) * 255).astype(np.uint8)
+    shift = jnp.asarray(rng.normal(0, 3, (bsz, 2)), jnp.float32)
+    angle = jnp.asarray(rng.normal(0, 0.2, (bsz,)), jnp.float32)
+    if os.environ.get("BENCH_H2D", "0") != "1":
+        batch = jnp.asarray(batch)
+
+    def one_batch(b):
+        stab, _k = stlizer_stage(b, shift, angle)
+        return proc(stab)
+
+    out = one_batch(batch)
+    _ = int(cksum(out))  # compile + warmup
+
+    if os.environ.get("BENCH_VDA_STAGES") == "1":
+        for name, fn in (
+                ("stlizer", lambda: cksum(stlizer_stage(batch, shift,
+                                                        angle)[0])),
+                ("iw3(vda+mlbw)", lambda: cksum(proc(batch)))):
+            _ = float(fn())
+            t0 = time.perf_counter()
+            s = 0.0
+            for _i in range(3):
+                s = s + fn()
+            _ = float(s)
+            print(f"{name}: {(time.perf_counter()-t0)/3/bsz*1000:.1f} "
+                  f"ms/frame", file=sys.stderr)
+
+    n = int(os.environ.get("BENCH_FRAMES", "48"))
+    iters = max(n // bsz, 1)
+    t0 = time.perf_counter()
+    s = 0
+    for _i in range(iters):
+        s = s + cksum(one_batch(batch))
+    _ = int(s)
+    dt = time.perf_counter() - t0
+    fps = iters * bsz / dt
+    baseline_fps = 60.0  # >60 FPS 2D->3D video north star (BASELINE.md)
+    print(json.dumps({
+        "metric": "iw3_vda_stlizer_mlbw_1080p_fps",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }))
+
+
 def main():
-    if os.environ.get("BENCH_METRIC", "waifu2x") == "iw3":
+    metric = os.environ.get("BENCH_METRIC", "waifu2x")
+    if metric == "iw3":
         return bench_iw3()
+    if metric == "iw3_vda":
+        return bench_iw3_vda()
     from nunif_tpu.models import create_model
     from nunif_tpu.utils import TiledRenderer
     import nunif_tpu.waifu2x  # noqa: F401
@@ -134,22 +233,27 @@ def main():
         tile_size = (int(th), int(tw))
     else:
         tile_size = int(tile_env)
-    batch_size = int(os.environ.get("BENCH_BATCH", "1"))
+    # BENCH_BATCH frames per dispatch (single-tile fast path: the frame
+    # batch IS the model batch) — video pipelining amortizes per-call
+    # pallas launch + dispatch gaps exactly as iw3 needed batch 32
+    fb = int(os.environ.get("BENCH_BATCH", "1"))
     include_d2h = os.environ.get("BENCH_D2H", "0") == "1"
 
     prog = renderer.frame_program(1080, 1920, 3, tile_size=tile_size,
-                                  batch_size=batch_size)
+                                  batch_size=1, frame_batch=fb)
     cksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.uint32)))
 
     rng = np.random.default_rng(0)
-    frame = (rng.uniform(size=(1080, 1920, 3)) * 255).astype(np.uint8)
+    fshape = (fb, 1080, 1920, 3) if fb > 1 else (1080, 1920, 3)
+    frame = (rng.uniform(size=fshape) * 255).astype(np.uint8)
 
     # warmup / compile
     y = prog(renderer.params, jnp.asarray(frame))
-    assert y.shape == (2160, 3840, 3) and y.dtype == jnp.uint8, (y.shape, y.dtype)
+    want = (fb, 2160, 3840, 3) if fb > 1 else (2160, 3840, 3)
+    assert y.shape == want and y.dtype == jnp.uint8, (y.shape, y.dtype)
     _ = int(cksum(y))
 
-    n = int(os.environ.get("BENCH_FRAMES", "20"))
+    n = max(int(os.environ.get("BENCH_FRAMES", "20")) // fb, 1)
     t0 = time.perf_counter()
     if include_d2h:
         for _ in range(n):
@@ -160,7 +264,7 @@ def main():
             s = cksum(prog(renderer.params, jnp.asarray(frame)))
         _ = int(s)
     dt = time.perf_counter() - t0
-    fps = n / dt
+    fps = n * fb / dt
 
     baseline_fps = 30.0  # real-time bar from BASELINE.md north star
     print(json.dumps({

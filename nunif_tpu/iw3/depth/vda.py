@@ -623,6 +623,11 @@ class VideoDepthAnythingStreamingModel(_VDACommon):
     fixed-shape ring-buffer caches (reference
     iw3/video_depth_anything_streaming_model.py:44-103)."""
 
+    # infer() threads Python-side ring-buffer caches between frames, so it
+    # must NEVER be traced inside a caller's jit (Iw3FrameProcessor checks
+    # this flag and routes to the unfused per-batch path)
+    stateful_inference = True
+
     def __init__(self, model_type="VDA_Stream_S", window_size=INFER_LEN):
         super().__init__(model_type, STREAM_NAME_MAP)
         self.window_size = window_size

@@ -108,7 +108,9 @@ class Iw3FrameProcessor:
             self._prep_jit = jax.jit(
                 lambda u8: preprocess_image(
                     u8.astype(jnp.float32) * (1.0 / 255.0), self.cfg))
+        stateful = getattr(self.depth_model, "stateful_inference", False)
         if (not hasattr(self.depth_model, "infer_with_normalize")
+                and not stateful
                 and self.depth_model.get_ema_buffer_size() == 1
                 and self.depth_model.scaler.decay == 0
                 and self.convergence_estimator is None):
@@ -132,6 +134,7 @@ class Iw3FrameProcessor:
                 self._full_jit = jax.jit(full_fn)
             return self._full_jit(jnp.asarray(batch_u8))
         if (not hasattr(self.depth_model, "infer_with_normalize")
+                and not stateful
                 and self.depth_model.get_ema_buffer_size() == 1):
             # fast path: TWO device programs and ONE host sync per batch —
             # (uint8 -> preprocess -> depth -> per-frame stats) as one

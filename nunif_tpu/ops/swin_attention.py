@@ -27,11 +27,17 @@ from __future__ import annotations
 
 import functools
 
+import os as _os_mod
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# perf probe only (NUNIF_TPU_SWIN_SKIP_BIAS=1): drops the bias/mask VPU
+# passes from the wpack kernel to bound their cost — WRONG NUMERICS
+_PERF_PROBE_SKIP_BIAS = _os_mod.environ.get("NUNIF_TPU_SWIN_SKIP_BIAS", "0")
 
 
 def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
@@ -470,9 +476,11 @@ def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
     scores = jax.lax.dot_general(
         q * scale, khat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # (nb, NG, P)
-    scores = scores + bias_ref[:][None]
-    if same_region_col is not None:
-        scores = jnp.where(same_region_col, scores, scores - 100.0 * LOG2E)
+    if not int(_PERF_PROBE_SKIP_BIAS):
+        scores = scores + bias_ref[:][None]
+        if same_region_col is not None:
+            scores = jnp.where(same_region_col, scores,
+                               scores - 100.0 * LOG2E)
 
     # row max comes from the (always unmasked) same-window block, so the
     # shift is finite and cross-window entries clamp to exp2(-100) ~ 0
@@ -736,17 +744,22 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
 
 
 def _default_variant(num_heads, shift=0):
-    """Measured per-(C, shift) best (tools/bench_swin_kernel.py, v5e):
-    full head-packing wins at 6 heads (31.2 vs 33.6 ms/full-res layer);
-    at 12 heads its (C, heads*N) scores weight crosses 4 lane-tiles and
-    3-head grouping wins unshifted (15.5 vs 17.7 ms/half-res layer) but
-    loses shifted (18.5 vs 17.4 — the key mask triples per group)."""
+    """Measured per-(C, shift) best (tools/bench_swin_kernel.py, v5e).
+
+    Window packing dominates everything from round 2: the batched tiny
+    dots are issue-latency bound per batch element, so packing G windows
+    into one dot pair amortizes that latency G ways while the softmax VPU
+    volume grows only linearly.  Full-res C=96 frame shapes (ms/layer,
+    shift 0/3): headpack 31.1/36.2 -> wpack4 18.1/20.4 (wpack2 18.7,
+    wpack8 24.2 — VPU volume wins past G=4).  Half-res C=192: headgroup3
+    15.5 / headpack 17.4 -> wpack2 8.1/8.3 (wpack4 10.3).  G*N must stay
+    sublane-aligned (G*36 % 8 == 0, i.e. even G; the odd-G variants
+    measured slower from relayout masking)."""
     import os as _os
     env = _os.environ.get("NUNIF_TPU_SWIN_ATTN")
     if env:
         return env
-    return "headgroup3" if num_heads >= 12 and num_heads % 3 == 0 \
-        and shift == 0 else "headpack"
+    return "wpack2" if num_heads >= 12 else "wpack4"
 
 
 def _kernel_block_img(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,

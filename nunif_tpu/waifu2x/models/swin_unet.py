@@ -24,15 +24,20 @@ from ...modules.resize import resize, scale_by
 
 
 class Im2ColConv3x3(nn.Module):
-    """3x3 VALID conv computed as 9-slice concat + matmul.
+    """3x3 VALID conv computed as im2col + matmul.
 
     XLA's TPU conv emitter runs the few-channel stem convs at ~27M cycles
     each (profiled: patch_conv0 9.0 ms, patch_conv1 10.4 ms per 1080p
-    frame); the same contraction as a (9*Cin)-lane matmul is
-    bandwidth-bound instead.  Param names/shapes identical to nn.Conv so
-    checkpoints are interchangeable.
+    frame).  On TPU, when strips divide, the conv runs as a Pallas strip
+    kernel (ops/conv3x3.py) whose columns never touch HBM — the XLA
+    im2col materializes the 9*Cin column tensor in HBM, ~17 ms/frame of
+    layout traffic at Cin=48.  ``crop``/``lrelu_slope`` fuse the stem's
+    post-conv crop and activation into the same pass.  Param names/shapes
+    identical to nn.Conv so checkpoints are interchangeable.
     """
     features: int
+    crop: int = 0
+    lrelu_slope: float = None
 
     @nn.compact
     def __call__(self, x):
@@ -41,6 +46,14 @@ class Im2ColConv3x3(nn.Module):
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        c = self.crop
+        strip = 8
+        ho = x.shape[1] - 2 - 2 * c
+        if (jax.default_backend() == "tpu" and ho >= strip
+                and ho % strip == 0 and cin % 8 == 0):
+            from ...ops.conv3x3 import stem_conv3x3
+            return stem_conv3x3(x, kernel, bias, crop=c,
+                                lrelu_slope=self.lrelu_slope, strip=strip)
         h, w = x.shape[1] - 2, x.shape[2] - 2
         cols = jnp.concatenate(
             [x[:, di:di + h, dj:dj + w, :]
@@ -49,11 +62,21 @@ class Im2ColConv3x3(nn.Module):
         y = jax.lax.dot_general(
             cols, wmat, dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return (y + bias).astype(x.dtype)
+        y = y + bias
+        if self.lrelu_slope is not None:
+            y = jnp.where(y >= 0, y, y * self.lrelu_slope)
+        y = y.astype(x.dtype)
+        return y[:, c:-c or None, c:-c or None, :] if c else y
 
 
 class PatchDown(nn.Module):
-    """2x2 stride-2 conv downsample (reference: swin_unet.py:45)."""
+    """2x2 stride-2 conv downsample (reference: swin_unet.py:45).
+
+    Kept as nn.Conv: the XLA conv emitter beat both a space-to-depth
+    matmul (4.93 -> 4.31 fps) and accumulated per-tap matmuls (4.29) at
+    1080p frame shapes — the strided-slice relayouts cost more than the
+    conv (measured r3, tools/profile_waifu2x.py).
+    """
     out_channels: int
 
     @nn.compact
@@ -125,11 +148,11 @@ class SwinUNetBase(nn.Module):
 
         x = Im2ColConv3x3(c // 2, name="patch_conv0")(x)
         x = leaky_relu(x, 0.1)
-        x = Im2ColConv3x3(c, name="patch_conv1")(x)
-        x = leaky_relu(x, 0.1)
-        # crop 6 on each side: combined with the two valid convs this removes
-        # 8 input px per side so the feature grid divides 12 and 16
-        x2 = x[:, 6:-6, 6:-6, :]
+        # crop 6 on each side (fused into the conv kernel): combined with
+        # the two valid convs this removes 8 input px per side so the
+        # feature grid divides 12 and 16
+        x2 = Im2ColConv3x3(c, crop=6, lrelu_slope=0.1,
+                           name="patch_conv1")(x)
         assert x2.shape[1] % 12 == 0 and x2.shape[1] % 16 == 0, x2.shape
 
         x3 = SwinTransformerBlocks(c, heads, depth, w, norm=self.norm,

@@ -121,6 +121,35 @@ class TestIw3Video:
             depth_model.disable_ema()
 
 
+class TestStreamingDepthProcessor:
+    def test_vda_stream_routes_to_unfused_path(self):
+        """Stateful streaming depth (VDA_Stream) must NOT be traced inside
+        the processor's fused jit (its infer threads Python ring-buffer
+        caches); the unfused path must carry temporal state across
+        batches.  Regression for the driver config-5 assembled pipeline."""
+        from nunif_tpu.iw3.pipeline import StereoConfig
+        from nunif_tpu.iw3.composition import StereoFormat
+        from nunif_tpu.iw3.video import Iw3FrameProcessor
+        from nunif_tpu.iw3.depth import create_depth_model
+
+        dm = create_depth_model("VDA_Stream_S", window_size=3).load(
+            limit_resolution=True)
+        dm.disable_ema()  # would select the fused path if not stateful
+        cfg = StereoConfig(method="grid_sample", divergence=2.0,
+                           convergence=0.5,
+                           format=StereoFormat.from_name("half_sbs"))
+        proc = Iw3FrameProcessor(cfg, dm)
+        rng = np.random.default_rng(0)
+        b1 = (rng.uniform(size=(2, 64, 96, 3)) * 255).astype(np.uint8)
+        b2 = (rng.uniform(size=(2, 64, 96, 3)) * 255).astype(np.uint8)
+        o1 = np.asarray(proc(b1))
+        o2 = np.asarray(proc(b2))  # second batch: caches must still be real
+        assert proc._full_jit is None and proc._infer_jit is None
+        assert o1.shape == o2.shape == (2, 64, 96, 3)
+        assert np.isfinite(o1).all() and np.isfinite(o2).all()
+        assert dm._caches is not None  # temporal state carried
+
+
 class TestScalerBatchParity:
     def test_update_batch_matches_per_frame(self):
         from nunif_tpu.iw3.depth_scaler import EMAMinMaxScaler

@@ -216,3 +216,32 @@ def test_fused_swin_block_image_matches_module(rh, cw):
         else:
             out = out[:, :hh, :ww_]
         np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+
+def test_stem_conv3x3_matches_xla():
+    """Pallas strip conv (in-VMEM im2col + fused crop/lrelu) == plain XLA
+    conv + lrelu + crop."""
+    from nunif_tpu.ops.conv3x3 import stem_conv3x3
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 30, 46, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.1, (3, 3, 16, 24)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.1, (24,)), jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = ref + b
+    ref = jnp.where(ref >= 0, ref, ref * 0.1)[:, 2:-2, 2:-2, :]
+
+    out = stem_conv3x3(x, w, b, crop=2, lrelu_slope=0.1, strip=8,
+                       interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # no crop / no lrelu
+    ref2 = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    out2 = stem_conv3x3(x, w, b, strip=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5)
