@@ -482,10 +482,15 @@ def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
             scores = jnp.where(same_region_col, scores,
                                scores - 100.0 * LOG2E)
 
-    # row max comes from the (always unmasked) same-window block, so the
-    # shift is finite and cross-window entries clamp to exp2(-100) ~ 0
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp2(jnp.maximum(scores - m, -100.0)).astype(dtype)
+    # static-clamp softmax: exp2 is shift-invariant under the /sum, so no
+    # row-max pass is needed — the [-100, 60] clamp makes the kernel
+    # NaN-free for ANY activation magnitude (denominators >= exp2(-100),
+    # numerators <= exp2(60), sums < 1e21 << fp32 max).  Exact whenever
+    # |log2-domain scores| <= 60, i.e. |logits| <= ~41 — far above any
+    # trained net; beyond that probabilities saturate instead of the old
+    # fixed-shift variant's inf/inf NaN.  Removes the cross-lane max
+    # reduce + subtract (~2 VPU passes on the packed score volume).
+    e = jnp.exp2(jnp.clip(scores, -100.0, 60.0)).astype(dtype)
 
     # ones columns accumulate each head's softmax denominator in the PV
     # matmul; h-major rows: row r belongs to head r // (G*N)
