@@ -114,7 +114,26 @@ class Waifu2xWebService:
         self.args = args
         self.cache = DiskCache(args.cache_dir, args.cache_size_mb * 1024 * 1024)
         self.lock = threading.Lock()  # one device program at a time
+        self.public_dir = getattr(args, "public_dir", None)
+        self.pages = {}     # lang -> static page bytes (webgen)
+        self._load_pages()
         self._build_runtime()
+
+    def _load_pages(self):
+        """Pregenerate the i18n front pages (reference webgen static
+        pages; rendered once at startup, served from memory)."""
+        try:
+            from .webgen import generate_pages
+            import tempfile
+            out = self.public_dir or tempfile.mkdtemp(prefix="waifu2x_web_")
+            for path in generate_pages(out):
+                name = os.path.basename(path)
+                lang = ("en" if name == "index.html"
+                        else name[len("index."):-len(".html")])
+                with open(path, "rb") as f:
+                    self.pages[lang] = f.read()
+        except Exception:  # noqa: BLE001 — fall back to INDEX_HTML
+            logger.exception("web: webgen page generation failed")
 
     def _build_runtime(self):
         import jax
@@ -207,8 +226,22 @@ def make_handler(service: Waifu2xWebService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path in ("/", "/index.html"):
-                self._send(200, INDEX_HTML.encode())
+            if self.path == "/" and service.pages:
+                from .webgen import pick_language
+                lang = pick_language(
+                    self.headers.get("Accept-Language", ""),
+                    list(service.pages))
+                self._send(200, service.pages.get(
+                    lang, service.pages.get("en", INDEX_HTML.encode())))
+            elif self.path in ("/", "/index.html"):
+                self._send(200, service.pages.get("en",
+                                                  INDEX_HTML.encode()))
+            elif (self.path.startswith("/index.")
+                  and self.path.endswith(".html")
+                  and self.path[len("/index."):-len(".html")]
+                  in service.pages):
+                lang = self.path[len("/index."):-len(".html")]
+                self._send(200, service.pages[lang])
             elif self.path == "/health":
                 self._send(200, b'{"status":"ok"}', "application/json")
             else:
@@ -258,6 +291,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--cache-dir", default="/tmp/waifu2x_web_cache")
     p.add_argument("--cache-size-mb", type=int, default=256)
+    p.add_argument("--public-dir", default=None,
+                   help="where webgen writes the static i18n pages "
+                        "(default: a temp dir)")
     args = p.parse_args(argv)
 
     service = Waifu2xWebService(args)

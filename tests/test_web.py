@@ -105,3 +105,41 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join()
     assert results == [200, 200, 200]
+
+
+def test_webgen_static_pages(tmp_path):
+    """webgen renders one page per locale (reference waifu2x/web/webgen)."""
+    from nunif_tpu.waifu2x.webgen import generate_pages, load_locales
+    paths = generate_pages(str(tmp_path))
+    locales = load_locales()
+    assert len(paths) == len(locales) >= 5
+    en = (tmp_path / "index.html").read_text()
+    ja = (tmp_path / "index.ja.html").read_text()
+    assert 'lang="en"' in en and "Convert" in en
+    assert 'lang="ja"' in ja and "変換" in ja
+    # missing keys fall back to English (language_links only in en.yml)
+    assert "index.zh_CN.html" in ja
+
+
+def test_webgen_pick_language():
+    from nunif_tpu.waifu2x.webgen import pick_language
+    avail = ["en", "ja", "zh_CN", "es", "ru"]
+    assert pick_language("ja,en;q=0.8", avail) == "ja"
+    assert pick_language("zh-CN,zh;q=0.9", avail) == "zh_CN"
+    assert pick_language("fr-FR,fr;q=0.9,es;q=0.5", avail) == "es"
+    assert pick_language("de", avail) == "en"
+    assert pick_language("", avail) == "en"
+    assert pick_language("es-MX", avail) == "es"
+
+
+def test_index_language_negotiation(server):
+    url, service = server
+    assert "ja" in service.pages
+    req = urllib.request.Request(url + "/",
+                                 headers={"Accept-Language": "ja"})
+    with urllib.request.urlopen(req) as r:
+        assert "変換" in r.read().decode("utf-8")
+    with urllib.request.urlopen(url + "/index.ru.html") as r:
+        assert "Преобразовать" in r.read().decode("utf-8")
+    with urllib.request.urlopen(url + "/index.html") as r:
+        assert "Convert" in r.read().decode("utf-8")
