@@ -310,11 +310,14 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     x: (BW, N, C) window tokens in VMEM; wr/wc: (BW, 1) int32 global window
     grid coordinates (for the arithmetic shift mask).  Returns (BW, N, C).
 
-    win_coords (required for wpack variants): callable ``m -> (wr_m, wc_m)``
-    returning the global window grid coordinates of every element of a
-    (BW/G, G*m) packed layout with m lanes per window — masks for the
-    window-packed kernel are built directly at packed geometry because
-    Mosaic cannot relayout-reshape bool vectors across sublanes/lanes.
+    win_coords (required for wpack variants): callable
+    ``(b_idx, t_idx) -> (wr, wc)`` mapping int32 index arrays (any
+    broadcast-compatible shape; b_idx = block-row index, t_idx = packed
+    element index with m lanes per window) to global window grid
+    coordinates — masks for the window-packed kernel are built directly
+    at their consumption geometry (lanes for the where path, sublanes
+    for the vhat-row fold) because Mosaic cannot relayout-reshape bool
+    vectors across sublanes/lanes.
     """
     BW, N, C = x.shape
     xt = x.reshape(BW * N, C)
@@ -342,9 +345,11 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             layout with m lanes per window: packed (BW/G, G*m) when wpack,
             else (BW, m) using the kernel-supplied wr/wc."""
             if wpack:
-                wr_m, wc_m = win_coords(m)
+                b = jax.lax.broadcasted_iota(
+                    jnp.int32, (BW // wpack, wpack * m), 0)
                 t = jax.lax.broadcasted_iota(
                     jnp.int32, (BW // wpack, wpack * m), 1)
+                wr_m, wc_m = win_coords(b, t)
                 # lanes cycle j fastest within each window's m columns and
                 # m is a multiple of N, so the token index is just t % N
                 return wr_m, wc_m, t % N
@@ -360,12 +365,27 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             # are cropped by the caller).
             h_valid = (n_wh - 1) * window
             w_valid = (n_ww - 1) * window
-            wr_c, wc_c, tok = coords(ncol)
+            if wpack:
+                # per-KEY mask built directly at sublane geometry
+                # (BW/G, G*ncol, 1) so _attn_headpack_w can fold it into
+                # the vhat_aug ROWS (one bf16 multiply on the PV operand)
+                # instead of a where over the fp32 score volume — a
+                # (nb,1,P)->(nb,P,1) relayout of the lane-built mask does
+                # not lower in Mosaic, so build it here at its final shape
+                nb = BW // wpack
+                b3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (nb, wpack * ncol, 1), 0)
+                t3 = jax.lax.broadcasted_iota(
+                    jnp.int32, (nb, wpack * ncol, 1), 1)
+                wr_c, wc_c = win_coords(b3, t3)
+                tok = t3 % N
+            else:
+                wr_c, wc_c, tok = coords(ncol)
             row = wr_c * window - shift + tok // window
             col = wc_c * window - shift + tok % window
             kv = ((row >= 0) & (row < h_valid)
                   & (col >= 0) & (col < w_valid))   # (BW|BW/G, [G*]ncol)
-            same_region = kv[:, None, :]
+            same_region = kv if wpack else kv[:, None, :]
         else:
             def region_of(m):
                 wr_m, wc_m, tok = coords(m)
@@ -452,8 +472,9 @@ def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
     bias_ref: (G*N, heads*G*N) fp32, pre-scaled by log2(e), relative
       position bias where the query and key window match and -30000
       elsewhere (the cross-window kill mask baked into the constant).
-    same_region_col: packed shift mask, (BW/G, G*N | 1, heads*G*N) bool,
-      or None.
+    same_region_col: packed shift mask — (BW/G, G*N, heads*G*N) bool full
+      query×key mask (cyclic shift), or (BW/G, heads*G*N, 1) bool per-KEY
+      column mask at sublane geometry (pad shift), or None.
     """
     nb, NG, _ = qkv.shape
     G = wpack
@@ -476,9 +497,20 @@ def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
     scores = jax.lax.dot_general(
         q * scale, khat, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # (nb, NG, P)
+    # pad-shift masks are per-KEY only, passed at sublane geometry
+    # (nb, P, 1): instead of a where pass on the fp32 score volume, zero
+    # the killed keys' vhat_aug ROWS — e @ vhat then sums exactly the
+    # valid keys in BOTH the numerator and the ones-column denominators,
+    # one bf16 pass on the (P, C+H) operand (~NG× smaller volume than
+    # the where).  Fully-invalid query rows get denom 0; the denominator
+    # floor below maps them to 0 instead of NaN (they are cropped by the
+    # caller either way).
+    kv_rows = None
+    if same_region_col is not None and same_region_col.shape[2] == 1:
+        kv_rows = same_region_col                            # (nb, P, 1)
     if not int(_PERF_PROBE_SKIP_BIAS):
         scores = scores + bias_ref[:][None]
-        if same_region_col is not None:
+        if same_region_col is not None and kv_rows is None:
             scores = jnp.where(same_region_col, scores,
                                scores - 100.0 * LOG2E)
 
@@ -500,11 +532,17 @@ def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
     vhat_aug = jnp.concatenate(
         [vhat, jnp.broadcast_to(onescols[None], (nb, P, num_heads))],
         axis=-1)                                             # (nb, P, C+H)
+    if kv_rows is not None:
+        vhat_aug = vhat_aug * kv_rows.astype(dtype)
     out_unnorm = jax.lax.dot_general(
         e, vhat_aug, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                  # (nb, NG, C+H)
 
     denom = out_unnorm[:, :, C:]                             # (nb, NG, H)
+    if kv_rows is not None:
+        # floor keeps fully-masked (cropped) query rows at 0, not 0/0;
+        # valid rows always have a self key, so denom >= exp2(-100) >> 1e-30
+        denom = jnp.maximum(denom, 1e-30)
     rmat = (jax.lax.broadcasted_iota(
         jnp.int32, (num_heads, C), 1) // head_dim
         == jax.lax.broadcasted_iota(
@@ -641,12 +679,10 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     G = _wpack_of(attn_variant)
     win_coords = None
     if G:
-        def win_coords(m):
+        def win_coords(b_idx, t_idx):
             # h-major packed lanes: window-in-group g = (t // N) % G for
             # both the (G*N,) query rows and the (heads*G*N,) key columns
-            b = jax.lax.broadcasted_iota(jnp.int32, (BW // G, G * m), 0)
-            t = jax.lax.broadcasted_iota(jnp.int32, (BW // G, G * m), 1)
-            widx_m = blk * BW + b * G + (t // n_tokens) % G
+            widx_m = blk * BW + b_idx * G + (t_idx // n_tokens) % G
             return (widx_m // n_ww) % n_wh, widx_m % n_ww
 
     out_ref[:] = _block_compute(
@@ -788,12 +824,9 @@ def _kernel_block_img(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     G = _wpack_of(attn_variant)
     win_coords = None
     if G:
-        def win_coords(m):
-            BWk = rh * cw
+        def win_coords(b_idx, t_idx):
             N = ws * ws
-            b = jax.lax.broadcasted_iota(jnp.int32, (BWk // G, G * m), 0)
-            t = jax.lax.broadcasted_iota(jnp.int32, (BWk // G, G * m), 1)
-            k_m = b * G + (t // N) % G               # window index in block
+            k_m = b_idx * G + (t_idx // N) % G       # window index in block
             return ((i % row_groups) * rh + k_m // cw, j * cw + k_m % cw)
 
     out = _block_compute(

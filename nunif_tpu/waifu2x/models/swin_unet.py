@@ -85,14 +85,48 @@ class PatchDown(nn.Module):
                        padding="VALID", dtype=x.dtype, name="conv")(x)
 
 
+class _ProjParams(nn.Module):
+    """nn.Dense-shaped param holder ({kernel, bias}, lecun/zeros init) so
+    checkpoints stay interchangeable while the caller controls the math."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.cin, self.cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.cout,), jnp.float32)
+        return k, b
+
+
 class PatchUp(nn.Module):
-    """linear -> pixel_shuffle(2) upsample (reference: swin_unet.py:66)."""
+    """linear -> pixel_shuffle(2) upsample (reference: swin_unet.py:66).
+
+    The stored kernel keeps torch pixel_shuffle column order
+    (lane = c*4 + di*2 + dj) for checkpoint compatibility, but the
+    matmul runs with columns permuted to (di, dj, c)-major: the shuffle
+    then needs no stride-4 lane gather — even/odd output rows are
+    contiguous 2C-lane slabs whose (W, 2C) -> (2W, C) width merge is a
+    free minor-dims reshape, leaving one sublane row interleave.  The
+    permutation is applied to the (Cin, 4C) weight, not the activation.
+    """
     out_channels: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.out_channels * 4, dtype=x.dtype, name="proj")(x)
-        return pixel_shuffle(x, 2)
+        co = self.out_channels
+        cin = x.shape[-1]
+        k, bb = _ProjParams(cin, co * 4, name="proj")()
+        lane = jnp.arange(co * 4)
+        perm = (lane % co) * 4 + lane // co   # new (di,dj,c) <- old (c,di,dj)
+        kp = k[:, perm].astype(x.dtype)
+        bp = bb[perm].astype(x.dtype)
+        y = jax.lax.dot_general(
+            x, kp, dimension_numbers=(((3,), (0,)), ((), ()))) + bp
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 2, 2 * co).transpose(0, 1, 3, 2, 4)
+        return y.reshape(b, h * 2, w * 2, co)
 
 
 class ToImage(nn.Module):
