@@ -114,6 +114,10 @@ def bench_iw3():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "h2d": os.environ.get("BENCH_H2D", "0") == "1",
+        "d2h": False,
+        "batch": bsz,
+        "frames": iters * bsz,
     }))
 
 
@@ -210,6 +214,10 @@ def bench_iw3_vda():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "h2d": os.environ.get("BENCH_H2D", "0") == "1",
+        "d2h": False,
+        "batch": bsz,
+        "frames": iters * bsz,
     }))
 
 
@@ -277,6 +285,10 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "h2d": os.environ.get("BENCH_H2D", "0") == "1",
+        "d2h": include_d2h,
+        "batch": fb,
+        "frames": n * fb,
     }))
 
 

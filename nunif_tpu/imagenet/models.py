@@ -1,12 +1,16 @@
 """imagenet classifier archs (NHWC flax).
 
 Behavioral parity target: reference imagenet/models/torchvision_models.py
-(torchvision vgg11_bn and swin_t wrappers with custom heads).  GroupNorm
-replaces BatchNorm (pure function of params); swin uses the framework's
+(torchvision vgg11_bn and swin_t wrappers).  VGG11 follows the EXACT
+torchvision vgg11_bn topology so torchvision-pretrained weights convert
+losslessly (models/torch_convert.convert_vgg11_bn) — the model's main role
+is the perceptual-loss / feature-extractor backbone, which requires the
+released IMAGENET1K weights to load bit-true.  Swin uses the framework's
 fused window attention blocks.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -14,29 +18,72 @@ from ..models import SoftmaxBaseModel, register_model
 from ..modules.attention import SwinTransformerBlocks
 
 
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with running statistics stored as PARAMS.
+
+    Eval (default): y = (x - mean) / sqrt(var + eps) * scale + bias — the
+    exact torch eval-mode BN, so torchvision running stats convert 1:1.
+    Train (use_batch_stats=True): normalizes by the current batch's
+    statistics (standard BN train behavior) as a pure function; running
+    stats are NOT updated inside the jitted step — refresh them after
+    training with imagenet.training.calibrate_bn (a forward sweep), the
+    functional equivalent of torch's momentum accumulation.
+    """
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_batch_stats: bool = False):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if use_batch_stats:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
+
+
+# torchvision vgg cfg "A": (out_channels per conv, 'M' = maxpool)
+_VGG11_CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512,
+              "M")
+
+
 @register_model
 class VGG11(SoftmaxBaseModel):
-    """vgg11-bn-style classifier (reference imagenet vgg11_bn wrapper)."""
+    """torchvision vgg11_bn topology (reference
+    imagenet/models/torchvision_models.py:10 wraps it unmodified):
+    cfg-A conv/BN/ReLU features -> 7x7 avgpool -> 3-layer classifier."""
     model_name = "imagenet.vgg11"
     num_classes: int = 1000
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for i, (c, n) in enumerate([(64, 1), (128, 1), (256, 2), (512, 2),
-                                    (512, 2)]):
-            for j in range(n):
-                x = nn.Conv(c, (3, 3), padding="SAME", use_bias=False,
-                            dtype=x.dtype, name=f"conv{i}_{j}")(x)
-                x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
-                                 name=f"gn{i}_{j}")(
-                    x.astype(jnp.float32)).astype(x.dtype)
-                x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = jnp.mean(x, axis=(1, 2))
-        x = nn.Dense(4096, dtype=x.dtype, name="fc1")(x)
-        x = nn.relu(x)
-        x = nn.Dense(self.num_classes, dtype=x.dtype, name="fc2")(x)
-        return x
+        k = 0
+        for c in _VGG11_CFG:
+            if c == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            x = nn.Conv(c, (3, 3), padding="SAME", dtype=x.dtype,
+                        name=f"conv{k}")(x)
+            x = FrozenBatchNorm(name=f"bn{k}")(x, use_batch_stats=train)
+            x = nn.relu(x)
+            k += 1
+        # AdaptiveAvgPool2d((7,7)): identity at the canonical 224 input;
+        # average-pool any larger multiple-of-7 extent down to 7x7
+        h, w = x.shape[1], x.shape[2]
+        if (h, w) != (7, 7):
+            assert h % 7 == 0 and w % 7 == 0, (h, w)
+            x = nn.avg_pool(x, (h // 7, w // 7), strides=(h // 7, w // 7))
+        # torch flatten is CHW-major: transpose so converted classifier
+        # weights (trained on C*7*7 order) line up
+        x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(4096, dtype=x.dtype, name="fc0")(x))
+        x = nn.relu(nn.Dense(4096, dtype=x.dtype, name="fc1")(x))
+        return nn.Dense(self.num_classes, dtype=x.dtype, name="fc2")(x)
 
 
 @register_model

@@ -120,3 +120,62 @@ def register_train(subparsers, default_parser):
     p.add_argument("--size", type=int, default=224)
     p.set_defaults(handler=train_main)
     return p
+
+
+def calibrate_bn(model, params, batches, max_batches: int = 64):
+    """Refresh VGG11 FrozenBatchNorm running stats after training.
+
+    The jitted train step normalizes by batch statistics but cannot mutate
+    params (pure function); this post-training sweep recomputes each BN
+    layer's running mean/var over `batches` — the functional equivalent of
+    torch BN momentum accumulation (reference trains torch BatchNorm2d in
+    torchvision vgg11_bn, imagenet/models/torchvision_models.py:10).
+
+    Returns a new params tree with updated bn*/mean and bn*/var.
+    """
+    import jax
+    import numpy as np
+
+    bn_names = sorted(n for n in params if n.startswith("bn"))
+    if not bn_names:
+        return params
+
+    # capture each BN layer's INPUT via per-layer intermediate taps:
+    # run the conv prefix up to each bn layer.  Cheap approach: use
+    # flax capture_intermediates on the conv outputs.
+    def fwd(p, x):
+        _, inter = model.apply(
+            {"params": p}, x, train=False,
+            capture_intermediates=lambda mdl, _: mdl.name is not None
+            and mdl.name.startswith("conv"), mutable=["intermediates"])
+        return inter["intermediates"]
+
+    fwd = jax.jit(fwd)
+    sums = {n: None for n in bn_names}
+    sqs = {n: None for n in bn_names}
+    count = {n: 0 for n in bn_names}
+    seen = 0
+    for batch in batches:
+        x = batch["x"] if isinstance(batch, dict) else batch
+        inter = fwd(params, x)
+        for n in bn_names:
+            conv = "conv" + n[2:]
+            v = np.asarray(jax.tree.leaves(inter[conv])[0], np.float64)
+            flat = v.reshape(-1, v.shape[-1])
+            s, q = flat.sum(0), (flat ** 2).sum(0)
+            sums[n] = s if sums[n] is None else sums[n] + s
+            sqs[n] = q if sqs[n] is None else sqs[n] + q
+            count[n] += flat.shape[0]
+        seen += 1
+        if seen >= max_batches:
+            break
+
+    out = dict(params)
+    for n in bn_names:
+        mean = sums[n] / count[n]
+        var = sqs[n] / count[n] - mean ** 2
+        bn = dict(out[n])
+        bn["mean"] = mean.astype(np.float32)
+        bn["var"] = np.maximum(var, 0).astype(np.float32)
+        out[n] = bn
+    return out

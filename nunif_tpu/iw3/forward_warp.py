@@ -41,8 +41,8 @@ def _suffix_min(x):
                                     axis=x.ndim - 1)
 
 
-def _prefix_min(x):
-    return jax.lax.associative_scan(jnp.minimum, x, axis=x.ndim - 1)
+def _prefix_max(x):
+    return jax.lax.associative_scan(jnp.maximum, x, axis=x.ndim - 1)
 
 
 def fill_nearest_x(x, sign: int):
@@ -116,27 +116,36 @@ def shift_fill_pack(left_eye, right_eye, inconsistent_shift: bool = False):
 def fix_layered_holes(side_image, index_image, sign: int):
     """Closed form of reference iw3/forward_warp.py:45-59.
 
-    The reference loop converges to: for sign>0, index row -> suffix-min;
-    a pixel is a layered hole (marked -2) iff its original warped source
-    index exceeds the suffix-min of the indexes to its right.
+    The reference loop detects DECREASES of the warped source index along x
+    (idx must be non-decreasing for both eyes) and repairs them from the
+    iteration direction: for sign>0 (left eye) idx[x] := idx[x+1] where
+    idx[x] > idx[x+1], converging to the suffix-MIN, with holes where the
+    original index exceeds the suffix-min of the indexes to its right; for
+    sign<0 (right eye) idx[x] := idx[x-1] where idx[x] < idx[x-1],
+    converging to the prefix-MAX, with holes where the original index falls
+    below the prefix-max of the indexes to its left.  (Round 3 shipped a
+    prefix-MIN here — caught by the round-4 golden test against the actual
+    reference loop, tests/test_golden_reference.py.)
     side_image: (B,H,W,C); index_image: (B,H,W,1).
 
-    A 1e-3 epsilon guards the strict > against float noise: warped indexes
-    are convex blends of integer source positions, so genuine layered-hole
-    jumps are O(1) while bilinear-blend rounding noise is O(1e-6) — the
-    reference's strict comparison is itself noise-determined there.
+    A 1e-3 epsilon guards the strict comparison against float noise: warped
+    indexes are convex blends of integer source positions, so genuine
+    layered-hole jumps are O(1) while bilinear-blend rounding noise is
+    O(1e-6) — the reference's strict comparison is itself noise-determined
+    there.
     """
     eps = 1e-3
     idx = index_image[..., 0]
     if sign > 0:
-        shifted_min = jnp.concatenate(
+        shifted = jnp.concatenate(
             [_suffix_min(idx)[:, :, 1:], idx[:, :, -1:]], axis=2)
-        final_idx = jnp.minimum(idx, shifted_min)
+        final_idx = jnp.minimum(idx, shifted)
+        hole = idx > shifted + eps
     else:
-        shifted_min = jnp.concatenate(
-            [idx[:, :, :1], _prefix_min(idx)[:, :, :-1]], axis=2)
-        final_idx = jnp.minimum(idx, shifted_min)
-    hole = idx > shifted_min + eps
+        shifted = jnp.concatenate(
+            [idx[:, :, :1], _prefix_max(idx)[:, :, :-1]], axis=2)
+        final_idx = jnp.maximum(idx, shifted)
+        hole = idx < shifted - eps
     side_image = jnp.where(hole[..., None], -2.0, side_image)
     return side_image, final_idx[..., None]
 

@@ -932,3 +932,32 @@ def convert_vgg7(sd):
     for i, t in enumerate((0, 2, 4, 6, 8, 10, 12)):
         out[f"Conv_{i}"] = conv2d(sd, f"net.{t}")
     return out
+
+
+def _bn_params(sd, prefix, eps_unused: float = 1e-5):
+    """torch BatchNorm2d -> FrozenBatchNorm params (running stats kept)."""
+    return {"scale": _np(sd[_key(prefix, "weight")]),
+            "bias": _np(sd[_key(prefix, "bias")]),
+            "mean": _np(sd[_key(prefix, "running_mean")]),
+            "var": _np(sd[_key(prefix, "running_var")])}
+
+
+# torchvision vgg11_bn `features` Sequential indices of the conv/bn pairs
+_VGG11_BN_IDX = ((0, 1), (4, 5), (8, 9), (11, 12), (15, 16), (18, 19),
+                 (22, 23), (25, 26))
+
+
+def convert_vgg11_bn(sd, prefix: str = ""):
+    """torchvision vgg11_bn -> imagenet.VGG11 (reference
+    imagenet/models/torchvision_models.py:10 wraps vgg11_bn unmodified; the
+    reference checkpoint nests it under ``net.`` — pass prefix="net").
+    Running BN stats are kept as FrozenBatchNorm params (exact eval-mode
+    parity), NOT folded, so the affine can keep training."""
+    p = (prefix + ".") if prefix else ""
+    out = {}
+    for k, (ci, bi) in enumerate(_VGG11_BN_IDX):
+        out[f"conv{k}"] = conv2d(sd, f"{p}features.{ci}")
+        out[f"bn{k}"] = _bn_params(sd, f"{p}features.{bi}")
+    for j, t in enumerate((0, 3, 6)):
+        out[f"fc{j}"] = linear(sd, f"{p}classifier.{t}")
+    return out

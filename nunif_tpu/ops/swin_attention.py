@@ -36,8 +36,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # perf probe only (NUNIF_TPU_SWIN_SKIP_BIAS=1): drops the bias/mask VPU
-# passes from the wpack kernel to bound their cost — WRONG NUMERICS
-_PERF_PROBE_SKIP_BIAS = _os_mod.environ.get("NUNIF_TPU_SWIN_SKIP_BIAS", "0")
+# passes from the wpack kernel to bound their cost — WRONG NUMERICS.
+# Strict '== "1"' parse (any other value is off) so a stray truthy string
+# can neither crash at trace time nor silently flip numerics; warn loudly
+# when the probe is active.
+_PERF_PROBE_SKIP_BIAS = (
+    _os_mod.environ.get("NUNIF_TPU_SWIN_SKIP_BIAS", "0") == "1")
+if _PERF_PROBE_SKIP_BIAS:
+    import logging as _logging
+    _logging.getLogger("nunif_tpu").warning(
+        "NUNIF_TPU_SWIN_SKIP_BIAS=1: swin kernel bias/mask passes DISABLED "
+        "— outputs are numerically WRONG (perf probe only)")
 
 
 def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
@@ -508,7 +517,7 @@ def _attn_headpack_w(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
     kv_rows = None
     if same_region_col is not None and same_region_col.shape[2] == 1:
         kv_rows = same_region_col                            # (nb, P, 1)
-    if not int(_PERF_PROBE_SKIP_BIAS):
+    if not _PERF_PROBE_SKIP_BIAS:
         scores = scores + bias_ref[:][None]
         if same_region_col is not None and kv_rows is None:
             scores = jnp.where(same_region_col, scores,

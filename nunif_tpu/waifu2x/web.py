@@ -218,10 +218,13 @@ def make_handler(service: Waifu2xWebService):
         def log_message(self, fmt, *args):
             logger.debug("web: " + fmt, *args)
 
-        def _send(self, code, body, ctype="text/html; charset=utf-8"):
+        def _send(self, code, body, ctype="text/html; charset=utf-8",
+                  extra_headers=()):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in extra_headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -231,8 +234,10 @@ def make_handler(service: Waifu2xWebService):
                 lang = pick_language(
                     self.headers.get("Accept-Language", ""),
                     list(service.pages))
+                # content-negotiated: caches must key on the request language
                 self._send(200, service.pages.get(
-                    lang, service.pages.get("en", INDEX_HTML.encode())))
+                    lang, service.pages.get("en", INDEX_HTML.encode())),
+                    extra_headers=(("Vary", "Accept-Language"),))
             elif self.path in ("/", "/index.html"):
                 self._send(200, service.pages.get("en",
                                                   INDEX_HTML.encode()))

@@ -242,3 +242,266 @@ def test_iw3_apply_divergence_golden(reference):
         jnp.asarray(img.transpose(1, 2, 0))[None],
         jnp.asarray(-delta_px)[None]), 0, 1)[0])
     np.testing.assert_allclose(exact_l, want_l, atol=5e-5)
+
+
+def _install_av_stub():
+    """Minimal `av` so `nunif.utils.video` (imported by the reference
+    stlizer pipeline) resolves; no video decoding happens in these tests."""
+    if "av" in sys.modules:
+        return
+    import enum
+
+    av = types.ModuleType("av")
+    av.__version__ = "15.0.0"
+    av.codecs_available = set()
+    av.time_base = 1000000
+    video_mod = types.ModuleType("av.video")
+    reformatter = types.ModuleType("av.video.reformatter")
+
+    # enum-valued like pyav's (reference video.py reads `.value` at import
+    # time: /root/reference/nunif/utils/video.py:74); values are libsws ids
+    class ColorRange(enum.Enum):
+        MPEG = 1
+        JPEG = 2
+
+    class Colorspace(enum.Enum):
+        ITU709 = 1
+        ITU601 = 5
+
+    reformatter.ColorRange = ColorRange
+    reformatter.Colorspace = Colorspace
+    video_mod.reformatter = reformatter
+    av.video = video_mod
+
+    # nunif.utils.pyav_extra does `from av.sidedata.sidedata import Type`
+    sidedata_pkg = types.ModuleType("av.sidedata")
+    sidedata_mod = types.ModuleType("av.sidedata.sidedata")
+
+    class SideDataType(enum.Enum):
+        MASTERING_DISPLAY_METADATA = 23
+        CONTENT_LIGHT_LEVEL = 24
+
+    sidedata_mod.Type = SideDataType
+    sidedata_pkg.sidedata = sidedata_mod
+    av.sidedata = sidedata_pkg
+    av.error = types.SimpleNamespace(FFMpegError=OSError)
+    sys.modules["av"] = av
+    sys.modules["av.video"] = video_mod
+    sys.modules["av.video.reformatter"] = reformatter
+    sys.modules["av.sidedata"] = sidedata_pkg
+    sys.modules["av.sidedata.sidedata"] = sidedata_mod
+
+
+@pytest.mark.parametrize("method", ["forward_fill", "forward"])
+def test_iw3_forward_warp_golden(reference, method):
+    """Reference depth-ordered bilinear forward warp + layered-hole fix +
+    shift fill (/root/reference/iw3/forward_warp.py:140-257, the actual
+    torch sort+index_copy+while-loop implementation) vs nunif_tpu's
+    closed-form scatter-max formulation on the same inputs."""
+    from iw3.forward_warp import (
+        apply_divergence_forward_warp as ref_forward_warp)
+
+    rng = np.random.default_rng(73)
+    B, H, W = 1, 16, 48
+    c = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+    # depth: coarse structure (a foreground block for layered holes /
+    # disocclusion coverage) + a unique tie-breaking jitter per pixel so
+    # the reference argsort depth order is unambiguous (torch argsort is
+    # not stable; equal depths would make the golden comparison flaky)
+    depth = (rng.integers(0, 12, (B, 1, H, W)) / 15.0).astype(np.float32)
+    depth[:, :, 4:12, 16:32] = 0.9
+    jitter = rng.permutation(H * W).reshape(1, 1, H, W) * 1e-6
+    depth = (depth + jitter).astype(np.float32)
+
+    with torch.inference_mode():
+        want_l, want_r = ref_forward_warp(
+            torch.from_numpy(c), torch.from_numpy(depth), 4.0, 0.5,
+            method=method, synthetic_view="both")
+    want_l = want_l.numpy().transpose(0, 2, 3, 1)
+    want_r = want_r.numpy().transpose(0, 2, 3, 1)
+
+    from nunif_tpu.iw3.forward_warp import (
+        apply_divergence_forward_warp as tpu_forward_warp)
+    got_l, got_r = tpu_forward_warp(
+        jnp.asarray(c.transpose(0, 2, 3, 1)),
+        jnp.asarray(depth.transpose(0, 2, 3, 1)),
+        4.0, 0.5, method=method, synthetic_view="both")
+
+    np.testing.assert_allclose(np.asarray(got_l),
+                               np.clip(want_l, 0, 1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_r),
+                               np.clip(want_r, 0, 1), atol=2e-4)
+
+
+def _ref_sbs_args():
+    """Minimal args namespace for the reference apply_divergence."""
+    import argparse
+    ns = argparse.Namespace()
+    ns.state = {"convergence_model": None}
+    ns.convergence = 0.5
+    ns.divergence = 2.0
+    ns.mapper = "softplus"
+    ns.method = "row_flow_v3"
+    ns.synthetic_view = "both"
+    ns.warp_steps = None
+    ns.preserve_screen_border = False
+    ns.disable_amp = True
+    ns.stereo_width = None
+    return ns
+
+
+def test_iw3_apply_divergence_row_flow_v3_golden(reference):
+    """Reference apply_divergence full nn path (mapper -> row_flow_v3 ->
+    delta warp; /root/reference/iw3/utils.py:292-391 +
+    iw3/backward_warp.py:124-260) vs nunif_tpu on converted weights."""
+    _install_av_stub()
+    from iw3.utils import apply_divergence as ref_apply_divergence
+    from iw3.models.row_flow_v3 import RowFlowV3 as RefRowFlowV3
+
+    torch.manual_seed(74)
+    tm = RefRowFlowV3().eval()
+    tm.delta_output = True  # inference mode (set at load by the ref CLI)
+    args = _ref_sbs_args()
+
+    rng = np.random.default_rng(74)
+    B, H, W = 2, 64, 96
+    im = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+    depth = rng.uniform(0, 1, (B, 1, H, W)).astype(np.float32)
+
+    with torch.inference_mode():
+        want_l, want_r = ref_apply_divergence(
+            torch.from_numpy(depth), torch.from_numpy(im), args, tm)
+    want_l = want_l.numpy().transpose(0, 2, 3, 1)
+    want_r = want_r.numpy().transpose(0, 2, 3, 1)
+
+    from nunif_tpu.models import torch_convert as tc
+    from nunif_tpu.models import create_model
+    from nunif_tpu.iw3.backward_warp import apply_divergence_nn_LR
+    from nunif_tpu.iw3.mapper import get_mapper
+    import nunif_tpu.iw3  # noqa: F401
+
+    params = tc.convert_row_flow_v3(tm.state_dict())
+    model = create_model("sbs.row_flow_v3")
+    d = get_mapper(args.mapper)(jnp.asarray(depth.transpose(0, 2, 3, 1)))
+    got_l, got_r = apply_divergence_nn_LR(
+        model, params, jnp.asarray(im.transpose(0, 2, 3, 1)), d,
+        args.divergence, args.convergence, synthetic_view="both")
+
+    psnr_l = _psnr(np.asarray(got_l), np.clip(want_l, 0, 1))
+    psnr_r = _psnr(np.asarray(got_r), np.clip(want_r, 0, 1))
+    assert psnr_l >= 50.0, f"left PSNR {psnr_l:.1f} dB < 50"
+    assert psnr_r >= 50.0, f"right PSNR {psnr_r:.1f} dB < 50"
+
+
+def test_iw3_apply_divergence_mlbw_golden(reference):
+    """Reference apply_divergence MLBW path (multi-layer blend warp,
+    delta_weight formulation; iw3/backward_warp.py:262-343) vs nunif_tpu
+    on converted weights."""
+    _install_av_stub()
+    from iw3.utils import apply_divergence as ref_apply_divergence
+    from iw3.models.mlbw import MLBW as RefMLBW
+
+    torch.manual_seed(75)
+    tm = RefMLBW(num_layers=2).eval()
+    tm.delta_output = True  # inference mode (set at load by the ref CLI)
+    args = _ref_sbs_args()
+    args.method = "mlbw_l2"
+
+    rng = np.random.default_rng(75)
+    B, H, W = 1, 64, 96
+    im = rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+    depth = rng.uniform(0, 1, (B, 1, H, W)).astype(np.float32)
+
+    with torch.inference_mode():
+        want_l, want_r = ref_apply_divergence(
+            torch.from_numpy(depth), torch.from_numpy(im), args, tm)
+    want_l = want_l.numpy().transpose(0, 2, 3, 1)
+    want_r = want_r.numpy().transpose(0, 2, 3, 1)
+
+    from nunif_tpu.models import torch_convert as tc
+    from nunif_tpu.models import create_model
+    from nunif_tpu.iw3.backward_warp import apply_divergence_nn_LR
+    from nunif_tpu.iw3.mapper import get_mapper
+    import nunif_tpu.iw3  # noqa: F401
+
+    params = tc.convert_mlbw(tm.state_dict())
+    model = create_model("sbs.mlbw_l2")
+    d = get_mapper(args.mapper)(jnp.asarray(depth.transpose(0, 2, 3, 1)))
+    got_l, got_r = apply_divergence_nn_LR(
+        model, params, jnp.asarray(im.transpose(0, 2, 3, 1)), d,
+        args.divergence, args.convergence, synthetic_view="both")
+
+    psnr_l = _psnr(np.asarray(got_l), np.clip(want_l, 0, 1))
+    psnr_r = _psnr(np.asarray(got_r), np.clip(want_r, 0, 1))
+    assert psnr_l >= 50.0, f"left PSNR {psnr_l:.1f} dB < 50"
+    assert psnr_r >= 50.0, f"right PSNR {psnr_r:.1f} dB < 50"
+
+
+def test_iw3_ema_scaler_mapper_golden(reference):
+    """Reference EMAMinMaxScaler sequence (lookahead buffer + EMA +
+    normalize; /root/reference/iw3/depth_scaler.py:33-143) composed with
+    the mapper curve vs nunif_tpu's scaler over the same frame stream."""
+    from iw3.depth_scaler import EMAMinMaxScaler as RefScaler
+    from iw3.mapper import get_mapper as ref_get_mapper
+
+    from nunif_tpu.iw3.depth_scaler import EMAMinMaxScaler as TpuScaler
+    from nunif_tpu.iw3.mapper import get_mapper as tpu_get_mapper
+
+    rng = np.random.default_rng(76)
+    frames = [rng.uniform(-2.0, 5.0, (1, 24, 32)).astype(np.float32) * s
+              for s in (1.0, 1.5, 0.7, 2.0, 1.1, 0.9, 1.3, 1.8)]
+
+    for mapper in ("none", "softplus", "softplus2", "div_6", "mul_1"):
+        ref = RefScaler(decay=0.9, buffer_size=3)
+        tpu = TpuScaler(decay=0.9, buffer_size=3)
+        ref_map = ref_get_mapper(mapper)
+        tpu_map = tpu_get_mapper(mapper)
+        want_out, got_out = [], []
+        for f in frames:
+            w = ref.update(torch.from_numpy(f))
+            if w is not None:
+                want_out.append(ref_map(w).numpy())
+            g = tpu.update(jnp.asarray(f))
+            if g is not None:
+                got_out.append(np.asarray(tpu_map(g)))
+        want_out.extend(ref_map(w).numpy() for w in ref.flush())
+        got_out.extend(np.asarray(tpu_map(g)) for g in tpu.flush())
+
+        assert len(want_out) == len(got_out) == len(frames), mapper
+        for i, (w, g) in enumerate(zip(want_out, got_out)):
+            np.testing.assert_allclose(g, w, atol=2e-5,
+                                       err_msg=f"{mapper} frame {i}")
+
+
+@pytest.mark.parametrize("method", ["gaussian", "savgol"])
+def test_stlizer_smoothing_golden(reference, method):
+    """Reference stlizer trajectory smoothing (cumsum + conv1d kernel fix
+    terms; /root/reference/stlizer/multipass_pipeline.py:272-351) vs
+    nunif_tpu's smooth_trajectory on the same trajectory."""
+    _install_av_stub()
+    from stlizer.multipass_pipeline import pass3_smoothing, calc_scene_weight
+
+    rng = np.random.default_rng(77)
+    n = 120
+    fps = 30.0
+    shift_x = rng.normal(0, 2.0, n)
+    shift_y = rng.normal(0, 1.5, n)
+    angle = rng.normal(0, 0.01, n)
+    scores = np.clip(rng.uniform(0.05, 0.9, n), 0, 1).astype(np.float32)
+
+    sw_ref = calc_scene_weight(torch.from_numpy(scores), device="cpu")
+    # pass3_smoothing weights by scene_weight and cumsums internally
+    # (multipass_pipeline.py:337-348)
+    want = pass3_smoothing(
+        torch.from_numpy(shift_x), torch.from_numpy(shift_y),
+        torch.from_numpy(angle), sw_ref, method, 2.0, fps, 320, "cpu")
+
+    from nunif_tpu.stlizer.pipeline import smooth_trajectory, calc_scene_weight as tpu_csw
+    sw = tpu_csw(scores)
+    np.testing.assert_allclose(np.asarray(sw), sw_ref.numpy(), atol=1e-6)
+    got = smooth_trajectory(shift_x, shift_y, angle, np.asarray(sw),
+                            method, 2.0, fps, 320)
+    for g, w, name in zip(got, want, ("x", "y", "a")):
+        np.testing.assert_allclose(np.asarray(g).ravel(),
+                                   w.numpy().ravel(), atol=1e-4,
+                                   err_msg=name)

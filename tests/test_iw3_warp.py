@@ -193,6 +193,11 @@ def _np_forward_warp(c, depth, divergence, convergence, fill, view="both"):
         return out
 
     def fix_layered(img, idx, sign):
+        # sign>0: converge to suffix-min, hole where row > suffix-min to the
+        # right; sign<0: converge to prefix-MAX, hole where row < prefix-max
+        # to the left (reference iw3/forward_warp.py:45-59; the sign<0
+        # direction is validated against the ACTUAL reference loop by
+        # test_golden_reference.test_iw3_forward_warp_golden)
         B_, H_, W_, _ = idx.shape
         img = img.copy()
         idx = idx.copy()
@@ -202,12 +207,14 @@ def _np_forward_warp(c, depth, divergence, convergence, fill, view="both"):
                 if sign > 0:
                     sm = np.minimum.accumulate(row[::-1])[::-1]
                     nxt = np.concatenate([sm[1:], row[-1:]])
+                    hole = row > nxt + 1e-3  # float-noise guard as impl
+                    idx[b, h, :, 0] = np.minimum(row, nxt)
                 else:
-                    pm = np.minimum.accumulate(row)
+                    pm = np.maximum.accumulate(row)
                     nxt = np.concatenate([row[:1], pm[:-1]])
-                hole = row > nxt + 1e-3  # same float-noise guard as impl
+                    hole = row < nxt - 1e-3
+                    idx[b, h, :, 0] = np.maximum(row, nxt)
                 img[b, h, hole] = -2
-                idx[b, h, :, 0] = np.minimum(row, nxt)
         return img, idx
 
     results = {}

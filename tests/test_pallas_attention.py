@@ -245,3 +245,45 @@ def test_stem_conv3x3_matches_xla():
     out2 = stem_conv3x3(x, w, b, strip=4, interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=2e-5)
+
+
+def test_wpack_isolation_under_adversarial_scale():
+    """Guard for the wpack numerical cross-window isolation assumption.
+
+    The wpack kernel kills cross-window scores with a -30000 additive baked
+    into the bias constant, then clamps log2-scores to [-100, 60]; packed ==
+    per-window holds whenever |logits| <= ~41 (ops/swin_attention.py).  This
+    asserts the equivalence at adversarially scaled activations near that
+    bound so a future model/kernel change that violates the assumption fails
+    loudly here instead of silently leaking between packed windows.
+    """
+    from nunif_tpu.ops.swin_attention import fused_swin_block
+
+    ws, n, c, heads = 6, 36, 96, 6
+    nh, nw = 2, 4
+    hidden = 2 * c
+    base = np.random.default_rng(3).normal(0, 1.0, (nh * nw, n, c))
+
+    def run(scale, variant):
+        x = jnp.asarray(base * scale, jnp.float32)
+        mk = lambda *s: jnp.asarray(  # noqa: E731
+            np.random.default_rng(0).normal(0, 0.05, s), jnp.float32)
+        args = (x, mk(c, 3 * c), mk(3 * c), mk(c, c), mk(c),
+                mk(c, hidden), mk(hidden), mk(hidden, c), mk(c),
+                mk(heads, n, n))
+        return np.asarray(fused_swin_block(
+            *args, num_heads=heads, window=ws, shift=3, n_wh=nh, n_ww=nw,
+            attn_variant=variant, block_windows=8, interpret=True))
+
+    # scale 5 puts the logit tail around |logits| ~ 30-40 — ~10x a trained
+    # net's activations, just inside the |logits| <= ~41 guarantee.  Output
+    # magnitude is ~25; 0.05 abs = ~2e-3 relative, the measured fp32 gap
+    # between the clamp softmax and the row-max softmax at these magnitudes
+    a = run(5.0, "wpack2")
+    b = run(5.0, "perhead")
+    np.testing.assert_allclose(a, b, atol=0.05)
+
+    # far beyond the bound the packed kernel may saturate probabilities,
+    # but it must never NaN/inf (the clamp guarantees finite denominators)
+    extreme = run(300.0, "wpack2")
+    assert np.isfinite(extreme).all()
