@@ -313,7 +313,8 @@ def _attn_headpack(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
 def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                    wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
                    *, num_heads, head_dim, window, shift, n_wh, n_ww,
-                   attn_variant, shift_mode, out_dtype, win_coords=None):
+                   attn_variant, shift_mode, out_dtype, win_coords=None,
+                   kv_mask=None):
     """Shared whole-block body on pre-formed windows.
 
     x: (BW, N, C) window tokens in VMEM; wr/wc: (BW, 1) int32 global window
@@ -330,6 +331,7 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     """
     BW, N, C = x.shape
     xt = x.reshape(BW * N, C)
+    rowpack = _rowpack_of(attn_variant)
     wpack = _wpack_of(attn_variant)
 
     # qkv projection: (BW*N, C) @ (C, 3C) — one well-shaped MXU pass per
@@ -343,10 +345,19 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
         # reshape here replaces three in-VMEM sublane relayouts inside it
         qkv = qkv.reshape(BW // wpack, wpack * N, 3 * C)
     else:
+        # rowpack: x already arrived as (groups, G*N, C) image-order rows
         qkv = qkv.reshape(BW, N, 3 * C)
 
     same_region = None
-    if shift > 0:
+    if shift > 0 and rowpack:
+        # pad-shift key-valid mask at sublane geometry (nb, P, 1) — fully
+        # shape-static, precomputed on the host (numpy) and streamed in as
+        # row/col factor constants; key column p = h*NG + t is token t of
+        # the group (h-major)
+        assert shift_mode == "pad", "rowpack supports pad shift only"
+        assert kv_mask is not None
+        same_region = kv_mask                           # (BW, P, 1) bool
+    elif shift > 0:
         ncol = N if attn_variant == "perhead" else num_heads * N
 
         def coords(m):
@@ -410,7 +421,11 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             cols = region_of(ncol)                  # (BW|BW/G, [G*]ncol)
             same_region = rows[:, :, None] == cols[:, None, :]
 
-    if wpack:
+    if rowpack:
+        attn = _attn_headpack_w(qkv, bias_ref, same_region,
+                                num_heads=num_heads, head_dim=head_dim,
+                                wpack=rowpack, dtype=x.dtype)
+    elif wpack:
         attn = _attn_headpack_w(qkv, bias_ref, same_region,
                                 num_heads=num_heads, head_dim=head_dim,
                                 wpack=wpack, dtype=x.dtype)
@@ -569,6 +584,24 @@ def _wpack_of(attn_variant):
     return 0
 
 
+def _rowpack_of(attn_variant):
+    """rowpack group size G of a 'rowpack{G}' variant, else 0.
+
+    rowpack = window packing with ZERO in-kernel relayouts: the pack group
+    is one full WINDOW-ROW of the image block (G = block width in windows),
+    so every group is a contiguous sublane slice of the image-order token
+    matrix — the window partition/reverse transposes (measured ~6.7
+    ms/layer at full-res C=96, the single largest kernel cost) disappear.
+    Tokens stay in image order (ti-major, then column); the permutation is
+    baked into the precomputed bias constant and the coordinate arithmetic,
+    and _attn_headpack_w is token-order agnostic.  G*ws must be a multiple
+    of 8 (Mosaic sublane tile) => G % 4 == 0 for ws == 6.
+    """
+    if attn_variant.startswith("rowpack"):
+        return int(attn_variant[len("rowpack"):] or "4")
+    return 0
+
+
 def _attn_headgroup(qkv, bias_ref, same_region_col, *, num_heads, head_dim,
                     group, dtype):
     """Group-packed window attention: G heads per wide pass pair.
@@ -650,6 +683,30 @@ def _bias_arg_for(attn_variant, bias, num_heads, N):
     LOG2E = 1.4426950408889634
     base = (bias.astype(jnp.float32) * LOG2E) \
         .transpose(1, 0, 2).reshape(N, num_heads * N)
+    RG = _rowpack_of(attn_variant)
+    if RG:
+        # rowpack: tokens in IMAGE order within the group — token t of the
+        # G-window row has in-window index n(t) = (t // (G*ws))*ws + t % ws
+        # and window g(t) = (t % (G*ws)) // ws.  Build the (G*N, H*G*N)
+        # bias by one-hot row/col permutation matmuls on the traced base,
+        # with -30000 where the query and key windows differ (the
+        # cross-window kill baked into the constant, as for wpack).
+        H = num_heads
+        ws = int(round(N ** 0.5))
+        NG = RG * N
+        t = np.arange(NG)
+        n_t = (t // (RG * ws)) * ws + t % ws
+        g_t = (t % (RG * ws)) // ws
+        rsel = np.zeros((NG, N), np.float32)
+        rsel[t, n_t] = 1.0
+        csel = np.zeros((H * N, H * NG), np.float32)
+        for h in range(H):
+            csel[h * N + n_t, h * NG + t] = 1.0
+        tiled = jnp.asarray(rsel) @ base @ jnp.asarray(csel)  # (NG, H*NG)
+        g_col = np.tile(g_t, H)
+        bias_arg = jnp.where(jnp.asarray(g_t[:, None] == g_col[None, :]),
+                             tiled, -30000.0)
+        return bias_arg, (NG, H * NG)
     G = _wpack_of(attn_variant)
     if not G:
         return base, (N, num_heads * N)
@@ -733,6 +790,11 @@ def fused_swin_block(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
         block_windows = int(_os.environ.get("NUNIF_TPU_SWIN_BW", "32"))
     if attn_variant is None:
         attn_variant = _default_variant(num_heads, shift)
+    if _rowpack_of(attn_variant):
+        # rowpack is an image-layout-only trick (the pack group must be a
+        # contiguous pixel-row slice); window-ordered input gets the
+        # measured-best window packing instead
+        attn_variant = "wpack2" if num_heads >= 12 else "wpack4"
     bw = _round_block_windows(min(block_windows, nw), _wpack_of(attn_variant))
     pad_n = (-nw) % bw
     if pad_n:
@@ -799,30 +861,64 @@ def _default_variant(num_heads, shift=0):
     Window packing dominates everything from round 2: the batched tiny
     dots are issue-latency bound per batch element, so packing G windows
     into one dot pair amortizes that latency G ways while the softmax VPU
-    volume grows only linearly.  Full-res C=96 frame shapes (ms/layer,
-    shift 0/3): headpack 31.1/36.2 -> wpack4 18.1/20.4 (wpack2 18.7,
-    wpack8 24.2 — VPU volume wins past G=4).  Half-res C=192: headgroup3
-    15.5 / headpack 17.4 -> wpack2 8.1/8.3 (wpack4 10.3).  G*N must stay
-    sublane-aligned (G*36 % 8 == 0, i.e. even G; the odd-G variants
-    measured slower from relayout masking)."""
+    volume grows only linearly.  Round 4 adds rowpack (zero in-kernel
+    relayouts, see _rowpack_of): full-res C=96 block edges improve
+    20.6 -> 15.4 ms (shift 0) and 38.3 -> 22.1 ms (shift 3); half-res
+    C=192 shift 3 improves 19.2 -> 14.4, but unshifted C=192 keeps wpack2
+    (9.6 vs rowpack4's 10.7 — heads=12 doubles the packed score volume
+    and there is no pad/mask cost to recoup).  tools/bench_swin_img.py,
+    v5e, block-edge incl. pad/crop."""
     import os as _os
     env = _os.environ.get("NUNIF_TPU_SWIN_ATTN")
     if env:
         return env
-    return "wpack2" if num_heads >= 12 else "wpack4"
+    if num_heads >= 12:
+        return "rowpack4" if shift > 0 else "wpack2"
+    return "rowpack4"
 
 
 def _kernel_block_img(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                       wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
-                      out_ref, *, num_heads, head_dim, window, shift,
+                      *rest, num_heads, head_dim, window, shift,
                       n_wh, n_ww, rh, cw, row_groups, attn_variant,
-                      shift_mode):
+                      shift_mode, have_masks=False):
+    if have_masks:
+        rowm_ref, colm_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     ws = window
     C = num_heads * head_dim
     i = pl.program_id(0)                             # batch * row-group
     j = pl.program_id(1)
 
     x = x_ref[0]                                     # (rh*ws, cw*ws, C)
+
+    RG = _rowpack_of(attn_variant)
+    if RG:
+        # zero-relayout path: pack group = one full window-row of the
+        # block (G == cw), a contiguous sublane slice of the image-order
+        # token matrix — the reshapes below are layout-preserving because
+        # cw*ws and ws*cw*ws are multiples of the 8-sublane tile
+        xw = x.reshape(rh, ws * cw * ws, C)
+
+        kv_mask = None
+        if have_masks:
+            # shape-static pad-shift validity, precomputed on the host:
+            # (rh, P, 1) int8 row factor for this row-group AND (P, 1)
+            # int8 column factor for this column block (i8 compares to i1:
+            # Mosaic has no vector i8 multiply)
+            kv_mask = (rowm_ref[0] != 0) & (colm_ref[0][None] != 0)
+
+        out = _block_compute(
+            xw, None, None, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+            wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
+            num_heads=num_heads, head_dim=head_dim, window=ws, shift=shift,
+            n_wh=n_wh, n_ww=n_ww, attn_variant=attn_variant,
+            shift_mode=shift_mode, out_dtype=out_ref.dtype,
+            kv_mask=kv_mask)
+        out_ref[0] = out.reshape(rh * ws, cw * ws, C)
+        return
+
     xw = x.reshape(rh, ws, cw, ws, C).transpose(0, 2, 1, 3, 4)
     xw = xw.reshape(rh * cw, ws * ws, C)             # windows in VMEM
 
@@ -875,17 +971,33 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
     head_dim = C // num_heads
 
     import os as _os
-    if block_rows is None:
-        block_rows = int(_os.environ.get("NUNIF_TPU_SWIN_RH", "1"))
-    if block_cols is None:
-        # measured best block widths (tools/bench_swin_img.py): 16 windows
-        # at C=96, 8 at C=192 — roughly constant VMEM per block
-        block_cols = int(_os.environ.get("NUNIF_TPU_SWIN_CW",
-                                         str(max(8, 1536 // C))))
     if attn_variant is None:
         attn_variant = _default_variant(num_heads, shift)
-    rh = min(block_rows, n_wh)
-    cw = min(block_cols, n_ww)
+    _rg = _rowpack_of(attn_variant)
+    if _rg:
+        # rowpack: block width IS the pack group (one window-row per
+        # group); G % 4 keeps cw*ws a sublane-tile multiple at ws=6
+        assert _rg % 4 == 0 or (_rg * window) % 8 == 0, _rg
+        if n_ww < _rg:
+            # image narrower than the pack group (tiny tiles, model init):
+            # fall back to the equivalent window packing
+            attn_variant = "wpack2" if num_heads >= 12 else "wpack4"
+            _rg = 0
+        else:
+            if block_rows is None:
+                block_rows = int(_os.environ.get("NUNIF_TPU_SWIN_RH", "8"))
+            rh = min(block_rows, n_wh)
+            cw = _rg
+    if not _rg:
+        if block_rows is None:
+            block_rows = int(_os.environ.get("NUNIF_TPU_SWIN_RH", "1"))
+        if block_cols is None:
+            # measured best block widths (tools/bench_swin_img.py): 16
+            # windows at C=96, 8 at C=192 — roughly constant VMEM per block
+            block_cols = int(_os.environ.get("NUNIF_TPU_SWIN_CW",
+                                             str(max(8, 1536 // C))))
+        rh = min(block_rows, n_wh)
+        cw = min(block_cols, n_ww)
     _g = _wpack_of(attn_variant)
     if _g and (rh * cw) % _g:
         # nearest block width that (a) keeps the wpack group count whole
@@ -915,12 +1027,47 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
     bias_spec = pl.BlockSpec(bshape, lambda i, j: (0,) * len(bshape),
                              memory_space=pltpu.VMEM)
 
+    mask_args, mask_specs = [], []
+    have_masks = bool(_rg) and shift > 0
+    if have_masks:
+        # pad-shift key-validity is fully shape-static: precompute the
+        # separable row/col factors with numpy and stream the (tiny) block
+        # slices in — the kernel runs ONE int8 multiply instead of ~20
+        # iota/div/mod/compare passes per block (div-by-6 is a long VPU
+        # multiply-shift sequence at (P, 1) geometry)
+        NG = cw * N
+        t = np.arange(NG)
+        ti = t // (cw * ws)
+        w_in = (t % (cw * ws)) // ws
+        tj = t % ws
+        h_valid = (n_wh - 1) * ws
+        w_valid = (n_ww - 1) * ws
+        ncb = (n_ww + pad_c) // cw
+        r_idx = np.arange(row_groups * rh).reshape(row_groups, rh)
+        rowv = r_idx[:, :, None] * ws - shift + ti[None, None, :]
+        rowm = ((rowv >= 0) & (rowv < h_valid))          # (rg, rh, NG)
+        colv = ((np.arange(ncb)[:, None] * cw + w_in[None, :]) * ws
+                - shift + tj[None, :])
+        colm = ((colv >= 0) & (colv < w_valid))          # (ncb, NG)
+        rowm = np.tile(rowm, (1, 1, num_heads))[..., None].astype(np.int8)
+        colm = np.tile(colm, (1, num_heads))[..., None].astype(np.int8)
+        P = num_heads * NG
+        mask_args = [jnp.asarray(rowm), jnp.asarray(colm)]
+        mask_specs = [
+            pl.BlockSpec((1, rh, P, 1),
+                         lambda i, j, rg=row_groups: (i % rg, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     out = pl.pallas_call(
         functools.partial(
             _kernel_block_img, num_heads=num_heads, head_dim=head_dim,
             window=ws, shift=shift, n_wh=n_wh, n_ww=n_ww,
             rh=rh, cw=cw, row_groups=row_groups,
-            attn_variant=attn_variant, shift_mode=shift_mode),
+            attn_variant=attn_variant, shift_mode=shift_mode,
+            have_masks=have_masks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rh * ws, cw * ws, C),
@@ -941,7 +1088,7 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             bias_spec,
-        ],
+        ] + mask_specs,
         out_specs=pl.BlockSpec((1, rh * ws, cw * ws, C),
                                lambda i, j, rg=row_groups: (i // rg, i % rg,
                                                             j, 0),
@@ -952,7 +1099,7 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
-      wargs[3], bargs[3], bias_arg)
+      wargs[3], bargs[3], bias_arg, *mask_args)
     if pad_r or pad_c:
         out = out[:, :H, :W]
     return out

@@ -218,6 +218,49 @@ def test_fused_swin_block_image_matches_module(rh, cw):
         np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
 
 
+@pytest.mark.parametrize("rh", [1, 3, 8])
+def test_fused_swin_block_image_rowpack_matches_module(rh):
+    """rowpack (zero-relayout image kernel: pack group = one window-row,
+    image-order tokens, permuted bias constant) == unfused module path,
+    incl. garbage-window column pad (42px = 7 windows vs G=4)."""
+    from nunif_tpu.ops.swin_attention import fused_swin_block_image
+    from nunif_tpu.modules.attention import (SwinTransformerBlock,
+                                             relative_position_index)
+
+    ws, n, c = 6, 36, 96
+    for shift in (0, 3):
+        blk = SwinTransformerBlock(c, 6, ws, shift_size=shift, norm="none")
+        rng = np.random.default_rng(10 + shift)
+        x = jnp.asarray(rng.normal(0, 0.5, (2, 30, 42, c)), jnp.float32)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        want = np.asarray(blk.apply({"params": params}, x))
+
+        hh, ww_ = x.shape[1], x.shape[2]
+        if shift:
+            xp = jnp.pad(x, ((0, 0), (shift, ws - shift),
+                             (shift, ws - shift), (0, 0)))
+        else:
+            xp = x
+        a, m = params["attn"], params["mlp"]
+        idx = relative_position_index(ws, ws)
+        rel = a["relative_position_bias_table"][idx.reshape(-1)] \
+            .reshape(n, n, 6).transpose(2, 0, 1)
+        out = fused_swin_block_image(
+            xp, a["qkv"]["kernel"], a["qkv"]["bias"],
+            a["proj"]["kernel"], a["proj"]["bias"],
+            m["fc1"]["kernel"], m["fc1"]["bias"],
+            m["fc2"]["kernel"], m["fc2"]["bias"],
+            jnp.asarray(rel, jnp.float32),
+            num_heads=6, window=ws, shift=shift, block_rows=rh,
+            attn_variant="rowpack4", shift_mode="pad", interpret=True)
+        if shift:
+            out = out[:, shift:shift + hh, shift:shift + ww_]
+        else:
+            out = out[:, :hh, :ww_]
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-5,
+                                   err_msg=f"shift={shift} rh={rh}")
+
+
 def test_stem_conv3x3_matches_xla():
     """Pallas strip conv (in-VMEM im2col + fused crop/lrelu) == plain XLA
     conv + lrelu + crop."""

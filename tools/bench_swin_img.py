@@ -63,8 +63,14 @@ def bench_loop(step, x, label):
 
 def main():
     C = int(sys.argv[1]) if len(sys.argv) > 1 else 96
-    combos = [tuple(int(v) for v in a.split(",")) for a in sys.argv[2:]] or \
-        [(1, 16), (2, 16), (1, 32), (2, 32), (4, 16)]
+    # combo: rh,cw[,variant] — e.g. 8,4,rowpack4 (cw is ignored by rowpack)
+    combos = []
+    for a in sys.argv[2:]:
+        parts = a.split(",")
+        combos.append((int(parts[0]), int(parts[1]),
+                       parts[2] if len(parts) > 2 else None))
+    combos = combos or [(1, 16, None), (2, 16, None), (1, 32, None),
+                        (2, 32, None), (4, 16, None)]
     H, W = (1104, 1920) if C == 96 else (552, 960)
     x, w, bias, heads, ws = make(C, H, W)
     nh, nw = H // ws, W // ws
@@ -92,8 +98,8 @@ def main():
 
         bench_loop(win_step, x, "window-kernel edge (current)")
 
-        for rh, cw in combos:
-            def img_step(xin, shift=shift, rh=rh, cw=cw):
+        for rh, cw, variant in combos:
+            def img_step(xin, shift=shift, rh=rh, cw=cw, variant=variant):
                 if shift > 0:
                     xp = jnp.pad(xin, ((0, 0), (shift, ws - shift),
                                        (shift, ws - shift), (0, 0)))
@@ -101,14 +107,16 @@ def main():
                     xp = xin
                 y = fused_swin_block_image(
                     xp, *w, bias, num_heads=heads, window=ws, shift=shift,
-                    block_rows=rh, block_cols=cw, shift_mode="pad")
+                    block_rows=rh, block_cols=cw, attn_variant=variant,
+                    shift_mode="pad")
                 if shift > 0:
                     y = y[:, shift:shift + H, shift:shift + W]
                 return y
+            label = f"image-kernel rh={rh} cw={cw} v={variant or 'default'}"
             try:
-                bench_loop(img_step, x, f"image-kernel rh={rh} cw={cw}")
+                bench_loop(img_step, x, label)
             except Exception as e:  # noqa: BLE001
-                print(f"  image-kernel rh={rh} cw={cw}: FAILED "
+                print(f"  {label}: FAILED "
                       f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
