@@ -249,10 +249,49 @@ def make_handler(service: Waifu2xWebService):
                 self._send(200, service.pages[lang])
             elif self.path == "/health":
                 self._send(200, b'{"status":"ok"}', "application/json")
+            elif self.path in ("/unlimited", "/unlimited.html"):
+                from .unlimited import UNLIMITED_HTML
+                self._send(200, UNLIMITED_HTML.encode())
             else:
                 self._send(404, b"not found")
 
+        def _tile_api(self):
+            """POST /api/tile — raw float32 single-tile inference for the
+            unlimited_waifu2x browser app (see waifu2x/unlimited.py)."""
+            from .unlimited import tile_forward
+            q = urllib.parse.parse_qs(
+                urllib.parse.urlparse(self.path).query)
+            w = int(q.get("w", ["0"])[0])
+            h = int(q.get("h", ["0"])[0])
+            tta = int(q.get("tta", ["0"])[0])
+            if not (0 < h <= 1024 and 0 < w <= 1024):
+                raise ValueError("bad tile size")
+            length = int(self.headers.get("Content-Length", 0))
+            if length != h * w * 3 * 4 or length > MAX_BODY_BYTES:
+                raise ValueError("bad tile body")
+            tile = np.frombuffer(self.rfile.read(length),
+                                 np.float32).reshape(h, w, 3)
+            if tta and h != w:
+                raise ValueError("tta needs square tiles")
+            with service.lock:
+                y = tile_forward(service, tile, tta=tta)
+            model = service.renderer.model
+            self._send(200, np.ascontiguousarray(y).tobytes(),
+                       "application/octet-stream",
+                       extra_headers=(
+                           ("X-Tile-Scale", str(model.i2i_scale)),
+                           ("X-Tile-Offset", str(model.i2i_offset))))
+
         def do_POST(self):
+            if self.path.startswith("/api/tile"):
+                try:
+                    self._tile_api()
+                except ValueError as e:
+                    self._send(400, str(e).encode())
+                except Exception:  # noqa: BLE001
+                    logger.exception("web: tile api error")
+                    self._send(500, b"internal error")
+                return
             if self.path != "/api":
                 self._send(404, b"not found")
                 return

@@ -143,3 +143,105 @@ def test_index_language_negotiation(server):
         assert "Преобразовать" in r.read().decode("utf-8")
     with urllib.request.urlopen(url + "/index.html") as r:
         assert "Convert" in r.read().decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# unlimited_waifu2x (browser tile-orchestration app; waifu2x/unlimited.py)
+
+def _post_tile(url, tile, **params):
+    q = "&".join(f"{k}={v}" for k, v in params.items())
+    req = urllib.request.Request(
+        url + "/api/tile?" + q, data=np.ascontiguousarray(tile).tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_unlimited_page(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/unlimited") as r:
+        page = r.read().decode("utf-8")
+    # the client app's core features (reference script.js parity surface)
+    for marker in ("calc_parameters", "SeamBlending", "make_blend_filter",
+                   "pad_replicate", "localStorage", "dragover", "paste",
+                   "/api/tile", "cancel"):
+        assert marker in page, marker
+
+
+def test_unlimited_tile_api(server):
+    url, service = server
+    rng = np.random.default_rng(5)
+    tile = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    with _post_tile(url, tile, w=64, h=64, tta=0) as r:
+        scale = int(r.headers["X-Tile-Scale"])
+        offset = int(r.headers["X-Tile-Offset"])
+        out = np.frombuffer(r.read(), np.float32)
+    assert scale == 2 and offset == 14  # upconv_7 i2i contract
+    side = 64 * scale - 2 * offset
+    assert out.size == side * side * 3
+    # bad body size is a 400, not a crash
+    try:
+        _post_tile(url, tile[:8], w=64, h=64, tta=0)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_unlimited_tile_tta(server):
+    url, _ = server
+    rng = np.random.default_rng(6)
+    tile = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    with _post_tile(url, tile, w=64, h=64, tta=1) as r:
+        out = np.frombuffer(r.read(), np.float32)
+    with _post_tile(url, tile, w=64, h=64, tta=0) as r:
+        plain = np.frombuffer(r.read(), np.float32)
+    assert out.shape == plain.shape
+    assert np.isfinite(out).all()
+    # TTA differs from the plain pass but stays in the value envelope
+    assert not np.allclose(out, plain, atol=1e-6)
+
+
+def test_unlimited_client_blend_parity(server):
+    """numpy simulation of the browser app's exact pipeline (grid math,
+    replicate pad, per-tile /api/tile calls, cumulative float32 seam
+    blending, crop) == TiledRenderer one-program render."""
+    url, service = server
+    from nunif_tpu.utils.tiling import make_tile_config, make_blend_filter
+
+    model = service.renderer.model
+    scale, offset = model.i2i_scale, model.i2i_offset
+    blend = model.i2i_blend_size
+    tile_size = 64
+    rng = np.random.default_rng(7)
+    h, w = 40, 56
+    x = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+
+    cfg = make_tile_config(h, w, scale, offset, tile_size, blend)
+    left, right, top, bottom = cfg.pad
+    padded = np.pad(x, ((top, bottom), (left, right), (0, 0)), mode="edge")
+    filt = make_blend_filter(scale, offset, tile_size, blend)[..., None]
+
+    pixels = np.zeros((cfg.y_buffer_h, cfg.y_buffer_w, 3), np.float32)
+    weights = np.zeros_like(pixels)
+    for ti in range(cfg.h_blocks):
+        for tj in range(cfg.w_blocks):
+            i0 = ti * cfg.input_tile_step_h
+            j0 = tj * cfg.input_tile_step_w
+            tile = padded[i0:i0 + tile_size, j0:j0 + tile_size]
+            with _post_tile(url, tile, w=tile_size, h=tile_size, tta=0) as r:
+                out = np.frombuffer(r.read(), np.float32).reshape(
+                    tile_size * scale - 2 * offset,
+                    tile_size * scale - 2 * offset, 3)
+            oh, ow = out.shape[:2]
+            y0 = ti * cfg.output_tile_step_h
+            x0 = tj * cfg.output_tile_step_w
+            old_w = weights[y0:y0 + oh, x0:x0 + ow]
+            next_w = old_w + filt
+            keep = np.where(next_w > 0, old_w / np.maximum(next_w, 1e-12), 0)
+            pixels[y0:y0 + oh, x0:x0 + ow] = (
+                pixels[y0:y0 + oh, x0:x0 + ow] * keep + out * (1 - keep))
+            weights[y0:y0 + oh, x0:x0 + ow] = next_w
+    got = pixels[:cfg.y_h, :cfg.y_w]
+
+    want = np.asarray(service.renderer.render(x, tile_size=tile_size,
+                                              batch_size=4))
+    np.testing.assert_allclose(got, want, atol=2e-3)

@@ -74,6 +74,19 @@ def main():
     print(f"total device time: {total:.1f} ms")
     for g, ms in sorted(groups.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{ms:9.2f} ms  {g}")
+    # ungrouped top ops (exact fusion instances) — the grouped view hides
+    # which reshape/fusion sites dominate
+    singles = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "")
+        if name.startswith("jit_") or "fused_swin" in name:
+            continue
+        singles[name] += e.get("dur", 0) / 1000.0
+    print("--- top single ops ---")
+    for g, ms in sorted(singles.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"{ms:9.2f} ms  {g}")
 
 
 if __name__ == "__main__":
