@@ -3,9 +3,11 @@
 Behavioral parity target: reference iw3/player/ (FastAPI/hypercorn media
 server + WebXR frontend): media library listing, HTTP range-request video
 serving (seekable playback), stereo-format detection from filename tags,
-and a browser player page.  The WebXR renderer is replaced by a plain
-side-by-side HTML5 player (VR headset runtimes are not reachable from a
-TPU server); the serving API matches.
+WebVTT subtitle extraction, zip image galleries, and the browser viewer.
+GET / serves the WebXR stereo viewer (player_app.py — raw WebGL2/WebXR
+re-design of the reference's three.js app, per-eye screen rendering with
+sbs/half-sbs/tb/rgbd support and a drag-to-look desktop preview);
+GET /flat keeps the plain HTML5 fallback page.
 
 Usage: python -m nunif_tpu.iw3.player --root /videos --port 1304
 """
@@ -94,7 +96,7 @@ def list_media(root: str):
 PLAYER_HTML = """<!doctype html>
 <html><head><title>iw3 player</title></head>
 <body style="background:#111;color:#eee;font-family:sans-serif">
-<h2>iw3 player</h2>
+<h2>iw3 player (flat fallback — the WebXR viewer is at /)</h2>
 <div id="list"></div>
 <video id="v" controls style="width:100%%;max-height:80vh"></video>
 <script>
@@ -132,6 +134,9 @@ def make_handler(root: str):
         def do_GET(self):
             path = urllib.parse.unquote(self.path)
             if path in ("/", "/index.html"):
+                from .player_app import PLAYER_APP_HTML
+                self._send(200, PLAYER_APP_HTML.encode())
+            elif path == "/flat":
                 self._send(200, PLAYER_HTML.encode())
             elif path == "/api/library":
                 self._send(200, json.dumps(list_media(root)).encode(),
@@ -195,6 +200,11 @@ def make_handler(root: str):
             full = self._safe_path(rel)
             if full is None:
                 self._send(404, b"not found")
+                return
+            ext = os.path.splitext(full)[1].lower()
+            if ext in _IMAGE_CTYPES:
+                with open(full, "rb") as f:
+                    self._send(200, f.read(), _IMAGE_CTYPES[ext])
                 return
             size = os.path.getsize(full)
             rng = self.headers.get("Range")

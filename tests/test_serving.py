@@ -61,6 +61,33 @@ class TestPlayerServer:
             assert r.read() == b"4567"
             assert r.headers["Content-Range"] == "bytes 4-7/16"
 
+
+    def test_webxr_viewer_page(self, server):
+        """GET / serves the WebXR stereo viewer (player_app.py) with the
+        reference player's feature surface (iw3/player/public/js)."""
+        with urllib.request.urlopen(server + "/") as r:
+            page = r.read().decode("utf-8")
+        for marker in ("immersive-vr", "XRWebGLLayer", "requestSession",
+                       "uv_window", "half-sbs", "rgbd", "curvature",
+                       "localStorage", "subtitles", "/api/library",
+                       "draw_eye", "projectionMatrix"):
+            assert marker in page, marker
+        # per-eye UV windows for every stereo layout are present
+        assert "[0.5, 0, 0.5, 1]" in page  # sbs right eye
+        assert "[0, 0.5, 1, 0.5]" in page  # tb right eye
+        with urllib.request.urlopen(server + "/flat") as r:
+            assert b"<video" in r.read()
+
+    def test_image_media_content_type(self, server, tmp_path):
+        import io
+        from PIL import Image
+        import numpy as np
+        im = Image.fromarray(np.zeros((4, 6, 3), np.uint8))
+        im.save(str(tmp_path / "pic_LRF.png"))
+        with urllib.request.urlopen(server + "/media/pic_LRF.png") as r:
+            assert r.headers["Content-Type"] == "image/png"
+            Image.open(io.BytesIO(r.read())).verify()
+
     def test_traversal_blocked(self, server):
         import urllib.error
         with pytest.raises(urllib.error.HTTPError) as e:
