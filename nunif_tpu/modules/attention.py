@@ -253,7 +253,11 @@ class SwinTransformerBlock(nn.Module):
         return nn.LayerNorm(name=name)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
+        # ``skip``: optional stage-boundary residual (U-Net PatchUp output
+        # + skip connection) added before the block — fused into the image
+        # kernel's first VMEM touch on TPU instead of a separate XLA add
+        # pass over the full-res tensor.
         # Token-layout orchestration: ONE fused relayout in, ONE out —
         # norms, residuals and the MLP are pointwise per token, so keeping
         # them in window layout lets XLA collapse each block edge into a
@@ -286,6 +290,9 @@ class SwinTransformerBlock(nn.Module):
                 # (measured 42->32 ms/block-edge shift=0, 51->36 shift=3
                 # at 1080p C=96; tools/bench_swin_img.py)
                 if shift > 0:
+                    if skip is not None:
+                        x = x + skip
+                        skip = None
                     xp = jnp.pad(x, ((0, 0), (shift, ws - shift),
                                      (shift, ws - shift), (0, 0)))
                     nh2, nw2 = nh + 1, nw + 1
@@ -294,10 +301,13 @@ class SwinTransformerBlock(nn.Module):
                 y = fused_swin_block_image(
                     xp, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2, bfc2,
                     rel_bias, num_heads=self.num_heads, window=ws,
-                    shift=shift, shift_mode="pad")
+                    shift=shift, shift_mode="pad", skip=skip)
                 if shift > 0:
                     y = y[:, shift:shift + hh, shift:shift + ww_]
                 return y
+            if skip is not None:
+                x = x + skip
+                skip = None
             if shift > 0:
                 nh2, nw2 = nh + 1, nw + 1
                 xp = jnp.pad(x, ((0, 0), (shift, ws - shift),
@@ -318,6 +328,8 @@ class SwinTransformerBlock(nn.Module):
                 x = x[:, shift:shift + hh, shift:shift + ww_]
             return x
 
+        if skip is not None:
+            x = x + skip
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         xw = x.reshape(b, nh, ws, nw, ws, c).transpose(0, 1, 3, 2, 4, 5)
@@ -347,12 +359,15 @@ class SwinTransformerBlocks(nn.Module):
     norm: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
+        # ``skip`` is added before block0 (fused into the TPU kernel's
+        # first VMEM touch, see SwinTransformerBlock)
         for i in range(self.num_layers):
             x = SwinTransformerBlock(
                 self.dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                norm=self.norm, name=f"block{i}")(x)
+                norm=self.norm, name=f"block{i}")(
+                x, skip=skip if i == 0 else None)
         return x
 
 

@@ -881,17 +881,27 @@ def _kernel_block_img(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                       wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, bias_ref,
                       *rest, num_heads, head_dim, window, shift,
                       n_wh, n_ww, rh, cw, row_groups, attn_variant,
-                      shift_mode, have_masks=False):
+                      shift_mode, have_masks=False, have_skip=False):
+    rest = list(rest)
+    rowm_ref = colm_ref = skip_ref = None
     if have_masks:
-        rowm_ref, colm_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+        rowm_ref, colm_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if have_skip:
+        skip_ref = rest[0]
+        rest = rest[1:]
+    (out_ref,) = rest
     ws = window
     C = num_heads * head_dim
     i = pl.program_id(0)                             # batch * row-group
     j = pl.program_id(1)
 
     x = x_ref[0]                                     # (rh*ws, cw*ws, C)
+    if skip_ref is not None:
+        # stage-boundary residual (e.g. PatchUp output + U-Net skip) fused
+        # into the kernel's first touch — saves the XLA add's extra HBM
+        # round trip of the summed tensor at full/half res
+        x = x + skip_ref[0]
 
     RG = _rowpack_of(attn_variant)
     if RG:
@@ -954,7 +964,7 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
                            bfc2, bias, *, num_heads, window, shift,
                            block_rows=None, block_cols=None,
                            attn_variant=None, shift_mode="pad",
-                           interpret=False):
+                           skip=None, interpret=False):
     """Whole swin block (norm='none') straight on an image-layout tensor.
 
     x: (B, H, W, C) with H % window == 0 and W % window == 0 — for shifted
@@ -1007,6 +1017,9 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
                  if (rh * c) % _g == 0 and (c * ws) % 8 == 0]
         assert cands, (rh, cw, _g, ws)
         cw = min(cands, key=lambda c: (abs(c - cw), -c))
+    if skip is not None:
+        assert shift == 0, "skip fusion applies to stage-first blocks only"
+        assert skip.shape == x.shape, (skip.shape, x.shape)
     pad_r = (-n_wh) % rh
     pad_c = (-n_ww) % cw
     if pad_r or pad_c:
@@ -1015,6 +1028,9 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
         # contaminate real ones — the caller's crop discards them.  Mask
         # extents below use the ORIGINAL n_wh/n_ww.
         x = jnp.pad(x, ((0, 0), (0, pad_r * ws), (0, pad_c * ws), (0, 0)))
+        if skip is not None:
+            skip = jnp.pad(skip, ((0, 0), (0, pad_r * ws),
+                                  (0, pad_c * ws), (0, 0)))
     row_groups = (n_wh + pad_r) // rh
     grid = (B * row_groups, (n_ww + pad_c) // cw)
     hidden = wfc1.shape[1]
@@ -1061,13 +1077,21 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
                          memory_space=pltpu.VMEM),
         ]
 
+    skip_args, skip_specs = [], []
+    if skip is not None:
+        skip_args = [skip.astype(dt)]
+        skip_specs = [pl.BlockSpec(
+            (1, rh * ws, cw * ws, C),
+            lambda i, j, rg=row_groups: (i // rg, i % rg, j, 0),
+            memory_space=pltpu.VMEM)]
+
     out = pl.pallas_call(
         functools.partial(
             _kernel_block_img, num_heads=num_heads, head_dim=head_dim,
             window=ws, shift=shift, n_wh=n_wh, n_ww=n_ww,
             rh=rh, cw=cw, row_groups=row_groups,
             attn_variant=attn_variant, shift_mode=shift_mode,
-            have_masks=have_masks),
+            have_masks=have_masks, have_skip=skip is not None),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, rh * ws, cw * ws, C),
@@ -1088,7 +1112,7 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             bias_spec,
-        ] + mask_specs,
+        ] + mask_specs + skip_specs,
         out_specs=pl.BlockSpec((1, rh * ws, cw * ws, C),
                                lambda i, j, rg=row_groups: (i // rg, i % rg,
                                                             j, 0),
@@ -1099,7 +1123,7 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, wargs[0], bargs[0], wargs[1], bargs[1], wargs[2], bargs[2],
-      wargs[3], bargs[3], bias_arg, *mask_args)
+      wargs[3], bargs[3], bias_arg, *mask_args, *skip_args)
     if pad_r or pad_c:
         out = out[:, :H, :W]
     return out

@@ -198,22 +198,22 @@ class SwinUNetBase(nn.Module):
         x5 = SwinTransformerBlocks(c * 2, heads, depth * 3, w, norm=self.norm,
                                    name="swin3")(x5)
         x5 = PatchUp(c * 2, name="up2")(x5)
-        x = x5 + x4  # proj1 = Identity in all reference configs
+        # U-Net skips ride into block0's kernel (proj1 = Identity in all
+        # reference configs); the fused add saves an XLA pass at this res
         x = SwinTransformerBlocks(c * 2, heads, depth, w, norm=self.norm,
-                                  name="swin4")(x)
+                                  name="swin4")(x5, skip=x4)
         if self.scale_factor in (1, 2):
             x = PatchUp(c, name="up1")(x)
-            x = x + x3
             x = SwinTransformerBlocks(c, heads, depth, w, norm=self.norm,
-                                      name="swin5")(x)
+                                      name="swin5")(x, skip=x3)
             x = ToImage(self.out_channels, self.scale_factor,
                         do_shuffle=not self.pre_shuffle,
                         name="to_image")(x)
         else:
             x = PatchUp(c * 2, name="up1")(x)
-            x = x + nn.Dense(c * 2, dtype=x.dtype, name="proj2")(x3)
             x = SwinTransformerBlocks(c * 2, heads, depth, w, norm=self.norm,
-                                      name="swin5")(x)
+                                      name="swin5")(
+                x, skip=nn.Dense(c * 2, dtype=x.dtype, name="proj2")(x3))
             x = ToImage(self.out_channels, self.scale_factor,
                         do_shuffle=not self.pre_shuffle,
                         name="to_image")(x)

@@ -261,6 +261,37 @@ def test_fused_swin_block_image_rowpack_matches_module(rh):
                                    err_msg=f"shift={shift} rh={rh}")
 
 
+def test_fused_swin_block_image_skip_fusion():
+    """skip= (stage-boundary residual fused into the kernel's first VMEM
+    touch) == adding outside the kernel."""
+    from nunif_tpu.ops.swin_attention import fused_swin_block_image
+    from nunif_tpu.modules.attention import (SwinTransformerBlock,
+                                             relative_position_index)
+
+    ws, n, c = 6, 36, 96
+    blk = SwinTransformerBlock(c, 6, ws, shift_size=0, norm="none")
+    rng = np.random.default_rng(20)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 24, 30, c)), jnp.float32)
+    skip = jnp.asarray(rng.normal(0, 0.5, (1, 24, 30, c)), jnp.float32)
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    a, m = params["attn"], params["mlp"]
+    idx = relative_position_index(ws, ws)
+    rel = jnp.asarray(a["relative_position_bias_table"][idx.reshape(-1)]
+                      .reshape(n, n, 6).transpose(2, 0, 1), jnp.float32)
+    args = (a["qkv"]["kernel"], a["qkv"]["bias"], a["proj"]["kernel"],
+            a["proj"]["bias"], m["fc1"]["kernel"], m["fc1"]["bias"],
+            m["fc2"]["kernel"], m["fc2"]["bias"], rel)
+    want = fused_swin_block_image(
+        x + skip, *args, num_heads=6, window=ws, shift=0, block_rows=2,
+        attn_variant="rowpack4", shift_mode="pad", interpret=True)
+    got = fused_swin_block_image(
+        x, *args, num_heads=6, window=ws, shift=0, block_rows=2,
+        attn_variant="rowpack4", shift_mode="pad", skip=skip,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
 def test_stem_conv3x3_matches_xla():
     """Pallas strip conv (in-VMEM im2col + fused crop/lrelu) == plain XLA
     conv + lrelu + crop."""
