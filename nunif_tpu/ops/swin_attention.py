@@ -48,6 +48,17 @@ if _PERF_PROBE_SKIP_BIAS:
         "NUNIF_TPU_SWIN_SKIP_BIAS=1: swin kernel bias/mask passes DISABLED "
         "— outputs are numerically WRONG (perf probe only)")
 
+# perf probe only (NUNIF_TPU_SWIN_SKIP_ATTN=1): replaces the attention
+# output with q — bounds the non-attention framework cost (dense matmuls,
+# residuals, gelu, HBM) of the fused block.  WRONG NUMERICS.
+_PERF_PROBE_SKIP_ATTN = (
+    _os_mod.environ.get("NUNIF_TPU_SWIN_SKIP_ATTN", "0") == "1")
+if _PERF_PROBE_SKIP_ATTN:
+    import logging as _logging
+    _logging.getLogger("nunif_tpu").warning(
+        "NUNIF_TPU_SWIN_SKIP_ATTN=1: swin kernel attention DISABLED "
+        "— outputs are numerically WRONG (perf probe only)")
+
 
 def _kernel(qkv_ref, bias_ref, out_ref, *, num_heads, head_dim, n_tokens,
             window, shift, n_wh, n_ww, block_packs, pack):
@@ -421,7 +432,9 @@ def _block_compute(x, wr, wc, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             cols = region_of(ncol)                  # (BW|BW/G, [G*]ncol)
             same_region = rows[:, :, None] == cols[:, None, :]
 
-    if rowpack:
+    if _PERF_PROBE_SKIP_ATTN:
+        attn = qkv[:, :, :C]
+    elif rowpack:
         attn = _attn_headpack_w(qkv, bias_ref, same_region,
                                 num_heads=num_heads, head_dim=head_dim,
                                 wpack=rowpack, dtype=x.dtype)

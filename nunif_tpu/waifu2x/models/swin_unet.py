@@ -72,17 +72,53 @@ class Im2ColConv3x3(nn.Module):
 class PatchDown(nn.Module):
     """2x2 stride-2 conv downsample (reference: swin_unet.py:45).
 
-    Kept as nn.Conv: the XLA conv emitter beat both a space-to-depth
-    matmul (4.93 -> 4.31 fps) and accumulated per-tap matmuls (4.29) at
-    1080p frame shapes — the strided-slice relayouts cost more than the
-    conv (measured r3, tools/profile_waifu2x.py).
+    Two implementations, same nn.Conv param tree (checkpoints
+    interchangeable):
+    - "conv": nn.Conv — r3 measured it beating a space-to-depth matmul
+      end-to-end, but r4 profiling showed why the comparison was poisoned:
+      the TPU conv emitter assigns {3,0,2,1:T(2,128)} layouts that force
+      10.8 ms of layout-conversion reshapes onto NEIGHBORING ops
+      (tools/profile_waifu2x.py r4, reshape.99/fusion.4).
+    - "matmul": space-to-depth + one MXU matmul, keeping the natural
+      {3,2,1,0:T(8,128)} layout through the block.  NUNIF_TPU_PATCHDOWN
+      selects; default per r4 measurement.
     """
     out_channels: int
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (2, 2), strides=(2, 2),
-                       padding="VALID", dtype=x.dtype, name="conv")(x)
+        import os
+        impl = os.environ.get("NUNIF_TPU_PATCHDOWN") or (
+            "matmul" if jax.default_backend() == "tpu" else "conv")
+        if impl != "matmul":
+            return nn.Conv(self.out_channels, (2, 2), strides=(2, 2),
+                           padding="VALID", dtype=x.dtype, name="conv")(x)
+        cin = x.shape[-1]
+        k, bb = _Conv2x2Params(cin, self.out_channels, name="conv")()
+        b_, h, w, _ = x.shape
+        xs = x.reshape(b_, h // 2, 2, w // 2, 2, cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h // 2, w // 2,
+                                                    4 * cin)
+        y = jax.lax.dot_general(
+            xs, k.reshape(4 * cin, self.out_channels).astype(x.dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + bb.astype(jnp.float32)).astype(x.dtype)
+
+
+class _Conv2x2Params(nn.Module):
+    """nn.Conv-shaped param holder ((2,2,cin,cout) kernel + bias) so the
+    matmul PatchDown shares checkpoints with the nn.Conv one."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, self.cin, self.cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.cout,), jnp.float32)
+        return k, b
 
 
 class _ProjParams(nn.Module):
@@ -115,6 +151,7 @@ class PatchUp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         co = self.out_channels
         cin = x.shape[-1]
         k, bb = _ProjParams(cin, co * 4, name="proj")()
@@ -125,6 +162,13 @@ class PatchUp(nn.Module):
         y = jax.lax.dot_general(
             x, kp, dimension_numbers=(((3,), (0,)), ((), ()))) + bp
         b, h, w, _ = y.shape
+        variant = os.environ.get("NUNIF_TPU_PATCHUP", "v1")
+        if variant == "v1":
+            # single 6-d transpose: XLA emits ONE combined relayout
+            # instead of a row-interleave copy + a separate 10.8 ms
+            # (W, 2C) -> (2W, C) lane split (tools/profile_waifu2x.py r4)
+            y = y.reshape(b, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+            return y.reshape(b, h * 2, w * 2, co)
         y = y.reshape(b, h, w, 2, 2 * co).transpose(0, 1, 3, 2, 4)
         return y.reshape(b, h * 2, w * 2, co)
 

@@ -193,3 +193,46 @@ def test_u3c_discriminator():
     z2, z1 = d.apply_fn(params, x, c=c, train=True)
     assert z2.shape[1] > z1.shape[1]  # two scales
     assert d.loss_weights == (0.9, 0.1)
+
+
+def test_patchdown_matmul_parity(monkeypatch):
+    """space-to-depth matmul PatchDown == nn.Conv PatchDown on the same
+    params (checkpoint-interchangeable; NUNIF_TPU_PATCHDOWN selects)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nunif_tpu.waifu2x.models.swin_unet import PatchDown
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 16, 20, 8)), jnp.float32)
+    monkeypatch.setenv("NUNIF_TPU_PATCHDOWN", "conv")
+    m1 = PatchDown(12)
+    p = m1.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(m1.apply({"params": p}, x))
+    monkeypatch.setenv("NUNIF_TPU_PATCHDOWN", "matmul")
+    m2 = PatchDown(12)  # fresh instance: flax caches traced fns per module
+    got = np.asarray(m2.apply({"params": p}, x))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    p2 = m2.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(p)
+            == jax.tree_util.tree_structure(p2))
+
+
+def test_patchup_v1_parity(monkeypatch):
+    """6-d single-transpose PatchUp decomposition (NUNIF_TPU_PATCHUP=v1,
+    the TPU default) == the two-step v0 decomposition."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nunif_tpu.waifu2x.models.swin_unet import PatchUp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 8, 10, 16)), jnp.float32)
+    monkeypatch.setenv("NUNIF_TPU_PATCHUP", "v0")
+    m0 = PatchUp(4)
+    p = m0.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(m0.apply({"params": p}, x))
+    monkeypatch.setenv("NUNIF_TPU_PATCHUP", "v1")
+    m1 = PatchUp(4)
+    got = np.asarray(m1.apply({"params": p}, x))
+    np.testing.assert_allclose(got, want, atol=1e-6)
