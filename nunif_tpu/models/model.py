@@ -16,10 +16,12 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 
@@ -34,28 +36,75 @@ class Model(nn.Module):
     def init_params(self, key: jax.Array, input_shape) -> dict:
         """Initialize parameters from an example input shape (NHWC).
 
-        Init runs pinned to the CPU backend: it is pure RNG math, but
-        compiling the init program through a remote TPU compile service
-        measured 270 s for a ViT-S (vs ~2 s on CPU) — params migrate to
-        the accelerator on first real use anyway.
+        On an accelerator backend, init runs pinned to the CPU backend
+        (pure RNG math; compiling the init program through a remote TPU
+        compile service measured 270 s for a ViT-S) and the RESULT is
+        cached on disk keyed by (model, kwargs, shape, key): even the
+        CPU compile of a large init program is minutes and XLA:CPU cache
+        entries don't transport across heterogenous compile hosts.  The
+        cache makes repeat loads ~1 s.  NUNIF_TPU_INIT_CACHE overrides
+        the directory; set to "0" to disable.
         """
         try:
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
-        if cpu is not None and jax.default_backend() != "cpu":
-            # one jitted CPU program (inputs CPU-committed so placement
-            # follows), then move the tree to the accelerator so later
-            # jits compile for it
-            key = jax.device_put(key, cpu)
-            with jax.default_device(cpu):
-                x = jnp.zeros(input_shape, jnp.float32)
-                params = jax.jit(
-                    lambda k, xx: self.init(k, xx, train=False))(
-                    key, x)["params"]
-            return jax.device_put(params, jax.devices()[0])
-        x = jnp.zeros(input_shape, jnp.float32)
-        return self.init(key, x, train=False)["params"]
+        if cpu is None or jax.default_backend() == "cpu":
+            x = jnp.zeros(input_shape, jnp.float32)
+            return self.init(key, x, train=False)["params"]
+
+        cache_path = None
+        cache_dir = os.environ.get("NUNIF_TPU_INIT_CACHE",
+                                   "/tmp/nunif_tpu_init_cache")
+        if cache_dir != "0":
+            import hashlib
+            try:
+                kd = np.asarray(jax.random.key_data(key))
+            except (TypeError, ValueError):
+                kd = np.asarray(key)
+            ident = repr((type(self).__name__, sorted(
+                model_kwargs(self).items()), tuple(input_shape),
+                kd.tolist()))
+            digest = hashlib.sha1(ident.encode()).hexdigest()
+            cache_path = os.path.join(cache_dir, digest + ".npz")
+            try:
+                with np.load(cache_path) as z:
+                    flat = [jnp.asarray(z[f"p{i}"]) for i in
+                            range(int(z["n"]))]
+                treedef_path = cache_path + ".tree"
+                import pickle
+                with open(treedef_path, "rb") as f:
+                    treedef = pickle.load(f)
+                params = jax.tree_util.tree_unflatten(treedef, flat)
+                return jax.device_put(params, jax.devices()[0])
+            except (OSError, KeyError, ValueError):
+                pass
+
+        # one jitted CPU program (inputs CPU-committed so placement
+        # follows), then move the tree to the accelerator so later
+        # jits compile for it
+        key = jax.device_put(key, cpu)
+        with jax.default_device(cpu):
+            x = jnp.zeros(input_shape, jnp.float32)
+            params = jax.jit(
+                lambda k, xx: self.init(k, xx, train=False))(
+                key, x)["params"]
+
+        if cache_path is not None:
+            try:
+                import pickle
+                os.makedirs(cache_dir, exist_ok=True)
+                flat, treedef = jax.tree_util.tree_flatten(params)
+                np.savez(cache_path + ".tmp.npz", n=len(flat),
+                         **{f"p{i}": np.asarray(v)
+                            for i, v in enumerate(flat)})
+                os.replace(cache_path + ".tmp.npz", cache_path)
+                with open(cache_path + ".tree.tmp", "wb") as f:
+                    pickle.dump(treedef, f)
+                os.replace(cache_path + ".tree.tmp", cache_path + ".tree")
+            except OSError:
+                pass
+        return jax.device_put(params, jax.devices()[0])
 
     def apply_fn(self, params, x, train: bool = False, rngs=None, **kwargs):
         return self.apply({"params": params}, x, train=train, rngs=rngs, **kwargs)
