@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from ..core.logger import logger
+
 
 class Model(nn.Module):
     """Base class for all registered models.
@@ -68,17 +70,22 @@ class Model(nn.Module):
             digest = hashlib.sha1(ident.encode()).hexdigest()
             cache_path = os.path.join(cache_dir, digest + ".npz")
             try:
+                # return UNCOMMITTED numpy leaves: the first jit call
+                # transfers the whole tree in one batched h2d instead of
+                # ~300 per-leaf device_put round trips (latency-bound
+                # through this harness's tunnel), and uncommitted inputs
+                # keep jit compiling for the default (accelerator) backend
                 with np.load(cache_path) as z:
-                    flat = [jnp.asarray(z[f"p{i}"]) for i in
-                            range(int(z["n"]))]
+                    flat = [z[f"p{i}"] for i in range(int(z["n"]))]
                 treedef_path = cache_path + ".tree"
                 import pickle
                 with open(treedef_path, "rb") as f:
                     treedef = pickle.load(f)
                 params = jax.tree_util.tree_unflatten(treedef, flat)
-                return jax.device_put(params, jax.devices()[0])
+                logger.debug("init_params: disk cache hit %s", cache_path)
+                return params
             except (OSError, KeyError, ValueError):
-                pass
+                logger.debug("init_params: disk cache miss %s", cache_path)
 
         # one jitted CPU program (inputs CPU-committed so placement
         # follows), then move the tree to the accelerator so later
@@ -90,21 +97,23 @@ class Model(nn.Module):
                 lambda k, xx: self.init(k, xx, train=False))(
                 key, x)["params"]
 
+        # host copies: uncommitted, one batched transfer at first use
+        params = jax.tree_util.tree_map(lambda v: np.asarray(v), params)
         if cache_path is not None:
             try:
                 import pickle
                 os.makedirs(cache_dir, exist_ok=True)
                 flat, treedef = jax.tree_util.tree_flatten(params)
                 np.savez(cache_path + ".tmp.npz", n=len(flat),
-                         **{f"p{i}": np.asarray(v)
-                            for i, v in enumerate(flat)})
+                         **{f"p{i}": v for i, v in enumerate(flat)})
                 os.replace(cache_path + ".tmp.npz", cache_path)
                 with open(cache_path + ".tree.tmp", "wb") as f:
                     pickle.dump(treedef, f)
                 os.replace(cache_path + ".tree.tmp", cache_path + ".tree")
-            except OSError:
-                pass
-        return jax.device_put(params, jax.devices()[0])
+                logger.debug("init_params: wrote disk cache %s", cache_path)
+            except Exception:  # noqa: BLE001 — cache is best-effort
+                logger.exception("init_params: disk cache write failed")
+        return params
 
     def apply_fn(self, params, x, train: bool = False, rngs=None, **kwargs):
         return self.apply({"params": params}, x, train=train, rngs=rngs, **kwargs)

@@ -22,7 +22,6 @@ import flax.linen as nn
 import optax
 
 from ..models import Model, register_model
-from ..modules.pool import max_pool2d
 from ..modules.grid_sample import grid_sample
 
 
@@ -60,20 +59,36 @@ class VGGBlock(nn.Module):
 
 
 def batched_nms(scores, nms_radius: int):
-    """reference superpoint.py:30-45 (scores: (B, H, W))."""
-    s4 = scores[..., None]
+    """reference superpoint.py:30-45 (scores: (B, H, W)).
+
+    The max pool runs SEPARABLY (9x9 max == 9x1 then 1x9) directly on the
+    3-D (B, H, W) layout: the naive 4-D NHWC form with C=1 puts ONE value
+    per 128-lane register (profiled as the SuperPoint hot spot at stlizer
+    shapes), while (B, H, W) keeps W in lanes — 81 taps -> 18 at full lane
+    occupancy, identical results (max is associative/separable).
+    """
+    r = nms_radius
+    k = 2 * r + 1
+    neg = jnp.finfo(scores.dtype).min
 
     def mp(x):
-        return max_pool2d(x, nms_radius * 2 + 1, stride=1)
+        y = jax.lax.reduce_window(
+            x, neg, jax.lax.max, window_dimensions=(1, k, 1),
+            window_strides=(1, 1, 1),
+            padding=((0, 0), (r, r), (0, 0)))
+        return jax.lax.reduce_window(
+            y, neg, jax.lax.max, window_dimensions=(1, 1, k),
+            window_strides=(1, 1, 1),
+            padding=((0, 0), (0, 0), (r, r)))
 
-    zeros = jnp.zeros_like(s4)
-    max_mask = s4 == mp(s4)
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == mp(scores)
     for _ in range(2):
-        supp_mask = mp(max_mask.astype(s4.dtype)) > 0
-        supp_scores = jnp.where(supp_mask, zeros, s4)
+        supp_mask = mp(max_mask.astype(scores.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
         new_max = supp_scores == mp(supp_scores)
         max_mask = max_mask | (new_max & (~supp_mask))
-    return jnp.where(max_mask, s4, zeros)[..., 0]
+    return jnp.where(max_mask, scores, zeros)
 
 
 @register_model
@@ -246,10 +261,29 @@ def find_transform(xy1, xy2, center, mask, iteration: int = 50,
 
 
 def apply_transform(x, shift, scale, angle_deg, center,
-                    padding_mode: str = "border"):
+                    padding_mode: str = "border", max_shift: int = 48):
     """Backward affine warp (reference :331-378).  x: (B,H,W,C); shift
-    (B,2) px; scale (B,); angle_deg (B,); center (B,2)."""
+    (B,2) px; scale (B,); angle_deg (B,); center (B,2).
+
+    TPU path: an XLA 2-D gather at 1080p measured 183 ms/frame (the
+    whole stlizer stage's budget is ~5 ms); stabilization transforms are
+    small, so the warp runs as the EXACT Catmull-Smith two-pass shear
+    decomposition — two bounded 1-D bilinear warps (the Pallas
+    offset-enumeration kernel, modules/grid_sample.warp_x_bounded) plus
+    two layout transposes:
+        pass1  h[i, j] = x[i, q(i, j)],   q(i, j) = A(j-cx)
+                 + (B/D)(i - C(j-cx) - F) + E        (horizontal)
+        pass2  out[i, j] = h[sy(i, j), j]            (vertical)
+    with sx = A(j-cx) + B(i-cy) + E, sy = C(j-cx) + D(i-cy) + F the
+    backward map; exact whenever D != 0 and displacements stay within
+    ``max_shift`` px (stabilization shifts/rotations are bounded by the
+    stlizer border margin; larger transforms fall back to the gather).
+    """
     B, H, W, _ = x.shape
+    if (jax.default_backend() == "tpu" and padding_mode == "border"
+            and x.shape[-1] <= 8):
+        return _apply_transform_two_pass(x, shift, scale, angle_deg,
+                                         center, max_shift)
     axis_scale = jnp.asarray([W - 1, H - 1], jnp.float32).reshape(1, 1, 1, 2)
     center = center.reshape(B, 1, 1, 2)
     shift = -shift.reshape(B, 1, 1, 2)
@@ -273,3 +307,41 @@ def apply_transform(x, shift, scale, angle_deg, center,
     # exact identity (deviation documented)
     return grid_sample(x, grid, mode="bilinear", padding_mode=padding_mode,
                        align_corners=True)
+
+
+def _apply_transform_two_pass(x, shift, scale, angle_deg, center,
+                              max_shift: int):
+    """Exact two-pass shear decomposition of the backward affine warp
+    (see apply_transform).  Displacements are clamped to ±max_shift —
+    identical to the gather within that envelope."""
+    from ..modules.grid_sample import warp_x_bounded
+
+    B, H, W, _ = x.shape
+    k = (1.0 / scale).astype(jnp.float32)                      # (B,)
+    ang = -jnp.radians(angle_deg).astype(jnp.float32)
+    asin, acos = jnp.sin(ang), jnp.cos(ang)
+    A, Bc = acos * k, -asin * k
+    Cc, D = asin * k, acos * k
+    cx, cy = center[:, 0], center[:, 1]
+    E = cx - shift[:, 0]
+    F = cy - shift[:, 1]
+
+    def bc(v):                                                  # (B,1,1)
+        return v.reshape(B, 1, 1)
+
+    jj = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 2)
+    ii = jax.lax.broadcasted_iota(jnp.float32, (B, H, W), 1)
+
+    # pass 1 (horizontal): q(i, j) = A(j-cx) + (B/D)(i - C(j-cx) - F) + E
+    jcx = jj - bc(cx)
+    q = (bc(A) * jcx + bc(Bc / D) * (ii - bc(Cc) * jcx - bc(F)) + bc(E))
+    d1 = jnp.clip(q - jj, -max_shift, max_shift)
+    h = warp_x_bounded(x, d1, max_shift)
+
+    # pass 2 (vertical): sy(i, j) = C(j-cx) + D(i-cy) + F, via transpose
+    jj_t = jax.lax.broadcasted_iota(jnp.float32, (B, W, H), 2)  # = i
+    ii_t = jax.lax.broadcasted_iota(jnp.float32, (B, W, H), 1)  # = j
+    sy_t = (bc(Cc) * (ii_t - bc(cx)) + bc(D) * (jj_t - bc(cy)) + bc(F))
+    d2 = jnp.clip(sy_t - jj_t, -max_shift, max_shift)
+    out_t = warp_x_bounded(h.transpose(0, 2, 1, 3), d2, max_shift)
+    return out_t.transpose(0, 2, 1, 3)

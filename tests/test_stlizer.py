@@ -228,3 +228,45 @@ def test_outpaint_training(tmp_path):
         seed=71, resume=False, ema_decay=None, batch_size=2, num_samples=2,
         size=64)
     assert train_main(args) == 0
+
+
+def test_apply_transform_two_pass_matches_gather():
+    """Catmull-Smith two-pass shear warp (the TPU fast path) == the 2-D
+    gather grid_sample path for in-envelope stabilization transforms."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nunif_tpu.utils.superpoint import (apply_transform,
+                                            _apply_transform_two_pass)
+
+    rng = np.random.default_rng(0)
+    B, H, W = 2, 64, 96
+    # smooth image: bilinear resampling paths agree to fp tolerance on
+    # smooth content; random noise would amplify the two-pass's different
+    # rounding at equal positions
+    base = rng.normal(0, 1, (B, 12, 16, 3))
+    x = jnp.asarray(np.kron(base, np.ones((1, 8, 8, 1))) / 3.0,
+                    jnp.float32)
+    x = jnp.asarray(jax.image.resize(x, (B, H, W, 3), "linear"))
+    shift = jnp.asarray([[3.0, -2.0], [-4.5, 1.25]], jnp.float32)
+    scale = jnp.asarray([1.0, 1.02], jnp.float32)
+    angle = jnp.asarray([0.8, -1.2], jnp.float32)
+    center = jnp.asarray([[W / 2, H / 2]] * B, jnp.float32)
+
+    want = np.asarray(apply_transform(x, shift, scale, angle, center))
+    got = np.asarray(_apply_transform_two_pass(x, shift, scale, angle,
+                                               center, max_shift=16))
+    # interior comparison: border handling differs at the rotated corner
+    # wedges (two-pass clamps per axis, gather clamps the 2-D position)
+    m = 8
+    # tolerance: warp_x_bounded streams the image in bf16 (~1e-3 at this
+    # magnitude) and bilinear-of-bilinear smooths O(curvature) ~ 4e-3 on
+    # this content — both inherent to the fast path, not bugs
+    np.testing.assert_allclose(got[:, m:-m, m:-m], want[:, m:-m, m:-m],
+                               atol=8e-3)
+
+    # identity transform is exact
+    ident = np.asarray(_apply_transform_two_pass(
+        x, jnp.zeros((B, 2)), jnp.ones((B,)), jnp.zeros((B,)), center,
+        max_shift=8))
+    np.testing.assert_allclose(ident, np.asarray(x), atol=4e-3)  # bf16
