@@ -666,6 +666,30 @@ class VideoDepthAnythingStreamingModel(_VDACommon):
             self._jit_cache[key] = step
         return self._jit_cache[key]
 
+    def _scan_fn(self, h, w, t):
+        """One jitted program scanning the streaming step over T frames:
+        the temporal recurrence is inherently sequential, but sequencing
+        it INSIDE the program costs one dispatch per batch instead of one
+        per frame (dispatch latency through a remote runtime dominated
+        the per-frame python loop)."""
+        key = ("scan", h, w, t)
+        if key not in self._jit_cache:
+            model = self.model
+
+            @jax.jit
+            def run(params, frames, caches):      # frames (T, H, W, 3)
+                def body(caches, frame):
+                    out, new_caches = model.apply(
+                        {"params": params},
+                        frame.astype(jnp.bfloat16)[None, None],
+                        caches=caches)
+                    return new_caches, out[0, 0].astype(jnp.float32)
+                caches, outs = jax.lax.scan(body, caches, frames)
+                return outs, caches
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
     def infer_video_depth_one(self, frame):
         """frame: (H,W,3) preprocessed.  Returns raw (H,W,1)."""
         h, w = frame.shape[0], frame.shape[1]
@@ -682,8 +706,12 @@ class VideoDepthAnythingStreamingModel(_VDACommon):
         if not batch:
             x = x[None]
         xp = self._preprocess(x)
-        outs = [self.infer_video_depth_one(xp[i]) for i in range(xp.shape[0])]
-        out = jnp.stack(outs)
+        h, w = int(xp.shape[1]), int(xp.shape[2])
+        if self._caches is None or self._cache_hw != (h, w):
+            self._caches = self.model.init_caches(1, h, w)
+            self._cache_hw = (h, w)
+        out, self._caches = self._scan_fn(h, w, int(xp.shape[0]))(
+            self.params, xp, self._caches)
         out = vda_postprocess(out, edge_dilation=edge_dilation,
                               metric_depth=self.metric_depth,
                               force_disparity=self.force_disparity,
