@@ -1008,7 +1008,11 @@ def fused_swin_block_image(x, wqkv, bqkv, wproj, bproj, wfc1, bfc1, wfc2,
             _rg = 0
         else:
             if block_rows is None:
-                block_rows = int(_os.environ.get("NUNIF_TPU_SWIN_RH", "8"))
+                # measured (tools/bench_swin_img.py, C=96): shift 0 best
+                # at rh=8 (15.4 vs 17.0 at rh=16), shift 3 best at rh=16
+                # (21.6 vs 22.1) — taller blocks amortize the mask DMA
+                block_rows = int(_os.environ.get(
+                    "NUNIF_TPU_SWIN_RH", "16" if shift > 0 else "8"))
             rh = min(block_rows, n_wh)
             cw = _rg
     if not _rg:
