@@ -313,8 +313,16 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
         centers = jnp.broadcast_to(
             jnp.asarray([c0, c1], jnp.float32).reshape(1, 2), (B, 2))
         pm = "border" if border == "replicate" else "zeros"
+        # bound the fast path's offset enumeration by the trajectory's
+        # actual extremes (known host-side), bucketed to multiples of 8
+        # to bound recompiles; the Pallas warp cost is linear in the bound
+        diag = 0.5 * float(np.hypot(H, W))
+        mx = (max(float(np.max(np.abs(fx))), float(np.max(np.abs(fy))))
+              * resize_scale
+              + abs(np.sin(np.radians(float(np.max(np.abs(fa)))))) * diag)
+        ms = int(min(max(8, -(-int(mx + 1) // 8) * 8), 64))
         y = apply_transform(x, shifts, jnp.ones((B,)), angles, centers,
-                            padding_mode=pm)
+                            padding_mode=pm, max_shift=ms)
         if border == "crop":
             crop_px = int(max(H, W) * padding)
             y = y[:, crop_px:H - crop_px, crop_px:W - crop_px]
