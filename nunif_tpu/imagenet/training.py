@@ -105,8 +105,21 @@ def train_main(args):
         weight_decay=args.weight_decay, scheduler=args.scheduler,
         seed=args.seed, resume=args.resume,
         checkpoint_name=args.arch.replace(".", "_"))
+
+    # vgg11's FrozenBatchNorm stores running stats as params the jitted
+    # step never updates; recalibrate them from training batches before
+    # every eval / best-model export (torch BN momentum equivalent)
+    has_bn = any(n.startswith("bn") for n in params)
+    eval_params_fn = None
+    if has_bn:
+        def eval_params_fn(p):
+            return calibrate_bn(model, p,
+                                train_ds.batches(args.batch_size),
+                                max_batches=16)
+
     trainer = Trainer(cfg, model, params, loss_fn, eval_fn,
-                      steps_per_epoch=args.num_samples // args.batch_size)
+                      steps_per_epoch=args.num_samples // args.batch_size,
+                      eval_params_fn=eval_params_fn)
     trainer.fit(lambda: train_ds.batches(args.batch_size),
                 lambda: eval_ds.batches(args.batch_size))
     return 0
@@ -142,10 +155,14 @@ def calibrate_bn(model, params, batches, max_batches: int = 64):
 
     # capture each BN layer's INPUT via per-layer intermediate taps:
     # run the conv prefix up to each bn layer.  Cheap approach: use
-    # flax capture_intermediates on the conv outputs.
+    # flax capture_intermediates on the conv outputs.  The capture
+    # forward runs train=True (use_batch_stats) so EARLIER layers
+    # normalize by batch statistics — each captured input then matches
+    # the training-forward distribution the refreshed stats must
+    # describe, not a forward through the stale stats being replaced.
     def fwd(p, x):
         _, inter = model.apply(
-            {"params": p}, x, train=False,
+            {"params": p}, x, train=True,
             capture_intermediates=lambda mdl, _: mdl.name is not None
             and mdl.name.startswith("conv"), mutable=["intermediates"])
         return inter["intermediates"]

@@ -16,6 +16,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from typing import Callable, Optional
 
@@ -25,6 +26,38 @@ import numpy as np
 import flax.linen as nn
 
 from ..core.logger import logger
+
+# bump to invalidate all cached init trees on format change
+_INIT_CACHE_SCHEMA = 2
+
+
+def _flatten_paths(params):
+    """Flatten a nested-dict param tree to (path strings, leaves).
+
+    Safe serialization for the init cache: paths are "a/b/c" strings
+    (flax module names never contain "/"), no pickled treedef — a
+    poisoned cache file can at worst yield wrong arrays, never code
+    execution.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths, leaves = [], []
+    for path, leaf in flat:
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        assert all("/" not in str(k) for k in keys), keys
+        paths.append("/".join(str(k) for k in keys))
+        leaves.append(leaf)
+    return paths, leaves
+
+
+def _unflatten_paths(paths, leaves):
+    params = {}
+    for pth, leaf in zip(paths, leaves):
+        d = params
+        parts = pth.split("/")
+        for part in parts[:-1]:
+            d = d.setdefault(part, {})
+        d[parts[-1]] = leaf
+    return params
 
 
 class Model(nn.Module):
@@ -56,15 +89,23 @@ class Model(nn.Module):
             return self.init(key, x, train=False)["params"]
 
         cache_path = None
-        cache_dir = os.environ.get("NUNIF_TPU_INIT_CACHE",
-                                   "/tmp/nunif_tpu_init_cache")
+        cache_dir = os.environ.get("NUNIF_TPU_INIT_CACHE") or os.path.join(
+            os.path.expanduser("~"), ".cache", "nunif_tpu", "init")
         if cache_dir != "0":
             import hashlib
+            import inspect
             try:
                 kd = np.asarray(jax.random.key_data(key))
             except (TypeError, ValueError):
                 kd = np.asarray(key)
-            ident = repr((type(self).__name__, sorted(
+            # fold the model's source into the key so editing a model
+            # definition invalidates its cached init tree
+            try:
+                src = inspect.getsource(type(self))
+            except (OSError, TypeError):
+                src = ""
+            ident = repr((_INIT_CACHE_SCHEMA, type(self).__name__,
+                          hashlib.sha1(src.encode()).hexdigest(), sorted(
                 model_kwargs(self).items()), tuple(input_shape),
                 kd.tolist()))
             digest = hashlib.sha1(ident.encode()).hexdigest()
@@ -76,12 +117,9 @@ class Model(nn.Module):
                 # through this harness's tunnel), and uncommitted inputs
                 # keep jit compiling for the default (accelerator) backend
                 with np.load(cache_path) as z:
-                    flat = [z[f"p{i}"] for i in range(int(z["n"]))]
-                treedef_path = cache_path + ".tree"
-                import pickle
-                with open(treedef_path, "rb") as f:
-                    treedef = pickle.load(f)
-                params = jax.tree_util.tree_unflatten(treedef, flat)
+                    paths = json.loads(str(z["paths"]))
+                    flat = [z[f"p{i}"] for i in range(len(paths))]
+                params = _unflatten_paths(paths, flat)
                 logger.debug("init_params: disk cache hit %s", cache_path)
                 return params
             except (OSError, KeyError, ValueError):
@@ -101,15 +139,12 @@ class Model(nn.Module):
         params = jax.tree_util.tree_map(lambda v: np.asarray(v), params)
         if cache_path is not None:
             try:
-                import pickle
-                os.makedirs(cache_dir, exist_ok=True)
-                flat, treedef = jax.tree_util.tree_flatten(params)
+                os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+                paths, flat = _flatten_paths(params)
                 np.savez(cache_path + ".tmp.npz", n=len(flat),
+                         paths=json.dumps(paths),
                          **{f"p{i}": v for i, v in enumerate(flat)})
                 os.replace(cache_path + ".tmp.npz", cache_path)
-                with open(cache_path + ".tree.tmp", "wb") as f:
-                    pickle.dump(treedef, f)
-                os.replace(cache_path + ".tree.tmp", cache_path + ".tree")
                 logger.debug("init_params: wrote disk cache %s", cache_path)
             except Exception:  # noqa: BLE001 — cache is best-effort
                 logger.exception("init_params: disk cache write failed")

@@ -315,12 +315,16 @@ def stabilize_video(input_path, output_path, *, resolution=DEFAULT_RESOLUTION,
         pm = "border" if border == "replicate" else "zeros"
         # bound the fast path's offset enumeration by the trajectory's
         # actual extremes (known host-side), bucketed to multiples of 8
-        # to bound recompiles; the Pallas warp cost is linear in the bound
+        # to bound recompiles; the Pallas warp cost is linear in the bound.
+        # No clamp: if the required bound exceeds TWO_PASS_MAX_SHIFT
+        # (extreme shakes beyond the pad margin), apply_transform routes
+        # the batch through the exact gather instead of clamping
+        # displacements to a silently-wrong warp.
         diag = 0.5 * float(np.hypot(H, W))
         mx = (max(float(np.max(np.abs(fx))), float(np.max(np.abs(fy))))
               * resize_scale
               + abs(np.sin(np.radians(float(np.max(np.abs(fa)))))) * diag)
-        ms = int(min(max(8, -(-int(mx + 1) // 8) * 8), 64))
+        ms = int(max(8, -(-int(mx + 1) // 8) * 8))
         y = apply_transform(x, shifts, jnp.ones((B,)), angles, centers,
                             padding_mode=pm, max_shift=ms)
         if border == "crop":

@@ -100,9 +100,14 @@ class Trainer:
     def __init__(self, cfg: TrainerConfig, model, params,
                  loss_fn: Callable, eval_fn: Optional[Callable] = None,
                  steps_per_epoch: int = 1000,
-                 best_is_min: bool = True):
+                 best_is_min: bool = True,
+                 eval_params_fn: Optional[Callable] = None):
+        """eval_params_fn: optional params -> params transform applied
+        before eval and before best-model export (e.g. BatchNorm running-
+        stat recalibration, imagenet.training.calibrate_bn)."""
         self.cfg = cfg
         self.model = model
+        self.eval_params_fn = eval_params_fn
         self.rng = RNG(cfg.seed)
         self.best_is_min = best_is_min
 
@@ -211,12 +216,15 @@ class Trainer:
                 raise RuntimeError(f"too many NaN losses: {nan_count}")
             train_loss = float(np.mean([v for v in losses])) if losses else 0.0
 
+            eval_params = (self.state.ema_params
+                           if self.state.ema_params is not None
+                           else self.state.params)
+            if self.eval_params_fn is not None:
+                eval_params = self.eval_params_fn(eval_params)
+
             eval_score = None
             if self.eval_step is not None and eval_loader_fn is not None:
                 scores = []
-                eval_params = (self.state.ema_params
-                               if self.state.ema_params is not None
-                               else self.state.params)
                 for batch in eval_loader_fn():
                     scores.append(self.eval_step(eval_params, batch))
                 vals = jax.device_get(scores)
@@ -232,9 +240,6 @@ class Trainer:
                 else (score > self.best_score)
             if improved:
                 self.best_score = score
-                eval_params = (self.state.ema_params
-                               if self.state.ema_params is not None
-                               else self.state.params)
                 self.export_best_model(jax.device_get(eval_params))
                 logger.info("epoch %d: new best %.5f", epoch, score)
             if cfg.save_every_epoch:

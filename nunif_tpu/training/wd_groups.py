@@ -10,6 +10,9 @@ import jax
 
 NO_DECAY_NAMES = (
     "bias", "scale", "relative_position_bias_table", "embedding", "pos_embed",
+    # FrozenBatchNorm running statistics live in the params tree (zero
+    # gradient in train mode); weight decay must never shrink them
+    "mean", "var",
 )
 
 

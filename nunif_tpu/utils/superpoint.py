@@ -260,6 +260,12 @@ def find_transform(xy1, xy2, center, mask, iteration: int = 50,
     return shift, scale, angle
 
 
+# largest displacement bound served by the two-pass Pallas warp; covers
+# the stabilizer design margin (padding=0.05 -> ~96 px at 1080p) with
+# headroom.  Beyond it apply_transform falls back to the exact gather.
+TWO_PASS_MAX_SHIFT = 128
+
+
 def apply_transform(x, shift, scale, angle_deg, center,
                     padding_mode: str = "border", max_shift: int = 48):
     """Backward affine warp (reference :331-378).  x: (B,H,W,C); shift
@@ -276,12 +282,15 @@ def apply_transform(x, shift, scale, angle_deg, center,
         pass2  out[i, j] = h[sy(i, j), j]            (vertical)
     with sx = A(j-cx) + B(i-cy) + E, sy = C(j-cx) + D(i-cy) + F the
     backward map; exact whenever D != 0 and displacements stay within
-    ``max_shift`` px (stabilization shifts/rotations are bounded by the
-    stlizer border margin; larger transforms fall back to the gather).
+    ``max_shift`` px.  The Pallas kernel's cost is linear in ``max_shift``,
+    so callers pass a bound derived from the actual trajectory; when the
+    required bound exceeds ``TWO_PASS_MAX_SHIFT`` (extreme shakes, beyond
+    the stabilizer's design margin) the call routes through the exact XLA
+    gather instead of clamping displacements.
     """
     B, H, W, _ = x.shape
     if (jax.default_backend() == "tpu" and padding_mode == "border"
-            and x.shape[-1] <= 8):
+            and x.shape[-1] <= 8 and max_shift <= TWO_PASS_MAX_SHIFT):
         return _apply_transform_two_pass(x, shift, scale, angle_deg,
                                          center, max_shift)
     axis_scale = jnp.asarray([W - 1, H - 1], jnp.float32).reshape(1, 1, 1, 2)

@@ -13,10 +13,17 @@ float32 tiles, lossless round trip).  The page is fully static and served
 by the waifu2x web server at ``GET /unlimited``.
 
 Client/server contract:
+  GET  /api/tile/info
+    reply: JSON {name, scale, offset, noise} describing the ONE model the
+    server process loaded; the page locks its scale/noise controls to
+    these values (one fixed model per process — there is no server-side
+    model dispatch).
   POST /api/tile?scale=2&noise=-1&tta=0&w=<tile_w>&h=<tile_h>
     body:  float32 LE, (h, w, 3) RGB in [0, 1]
     reply: float32 LE, (h*s - 2*offset, w*s - 2*offset, 3)
     headers: X-Tile-Scale, X-Tile-Offset (model i2i contract values)
+    scale/noise are validated against the loaded model — a mismatch is a
+    400, never a silently different conversion.
 The client never needs to know the model architecture — scale/offset are
 echoed in the response headers and drive the blend math (the reference
 client hardcodes them per-arch in gen_arch_config; script.js:26-80).
@@ -413,6 +420,16 @@ function set_image(blob) {
 }
 window.addEventListener("load", () => {
   load_settings();
+  // one fixed model per server process: lock scale/noise to what the
+  // server actually loaded (the server 400s on mismatch)
+  fetch("/api/tile/info").then((r) => r.json()).then((info) => {
+    for (const [id, v] of [["scale", info.scale], ["noise", info.noise]]) {
+      const el = document.getElementById(id);
+      el.value = String(v);
+      el.disabled = true;
+      el.title = "fixed by the server's loaded model (" + info.name + ")";
+    }
+  }).catch(() => {});
   const drop = document.getElementById("drop");
   const file = document.getElementById("file");
   drop.addEventListener("click", () => file.click());

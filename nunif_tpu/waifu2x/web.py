@@ -150,6 +150,7 @@ class Waifu2xWebService:
                            "structure/load-test use only")
         self.renderer = TiledRenderer(model, params)
         self.scale = model.i2i_scale
+        self.noise_level = getattr(self.args, "noise_level", -1)
 
     def convert(self, image_bytes: bytes, style: str, noise: int, scale: int,
                 image_format: str) -> bytes:
@@ -252,18 +253,39 @@ def make_handler(service: Waifu2xWebService):
             elif self.path in ("/unlimited", "/unlimited.html"):
                 from .unlimited import UNLIMITED_HTML
                 self._send(200, UNLIMITED_HTML.encode())
+            elif self.path == "/api/tile/info":
+                model = service.renderer.model
+                self._send(200, json.dumps({
+                    "name": model.model_name,
+                    "scale": service.scale,
+                    "offset": model.i2i_offset,
+                    "noise": service.noise_level,
+                }).encode(), "application/json")
             else:
                 self._send(404, b"not found")
 
         def _tile_api(self):
             """POST /api/tile — raw float32 single-tile inference for the
-            unlimited_waifu2x browser app (see waifu2x/unlimited.py)."""
+            unlimited_waifu2x browser app (see waifu2x/unlimited.py).
+
+            One fixed model per server process: requested scale/noise are
+            VALIDATED against the loaded model (GET /api/tile/info
+            advertises it) — a mismatch is a 400, never a silently
+            different conversion."""
             from .unlimited import tile_forward
             q = urllib.parse.parse_qs(
                 urllib.parse.urlparse(self.path).query)
             w = int(q.get("w", ["0"])[0])
             h = int(q.get("h", ["0"])[0])
             tta = int(q.get("tta", ["0"])[0])
+            if "scale" in q and int(q["scale"][0]) != service.scale:
+                raise ValueError(
+                    f"server model is {service.scale}x "
+                    f"(requested {q['scale'][0]}x); see /api/tile/info")
+            if "noise" in q and int(q["noise"][0]) != service.noise_level:
+                raise ValueError(
+                    f"server model noise level is {service.noise_level} "
+                    f"(requested {q['noise'][0]}); see /api/tile/info")
             if not (0 < h <= 1024 and 0 < w <= 1024):
                 raise ValueError("bad tile size")
             length = int(self.headers.get("Content-Length", 0))
@@ -333,6 +355,10 @@ def main(argv=None):
     p.add_argument("--arch", default="waifu2x.swin_unet_2x")
     p.add_argument("--tile-size", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--noise-level", type=int, default=-1,
+                   help="noise level the loaded --model-file was trained "
+                        "for (echoed by /api/tile/info; tile requests for "
+                        "a different level are rejected)")
     p.add_argument("--cache-dir", default="/tmp/waifu2x_web_cache")
     p.add_argument("--cache-size-mb", type=int, default=256)
     p.add_argument("--public-dir", default=None,

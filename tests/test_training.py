@@ -149,6 +149,52 @@ def test_wd_mask_excludes_bias_and_norm():
     assert kernels and all(by_name[k] for k in kernels)
 
 
+def test_wd_mask_excludes_bn_running_stats():
+    """FrozenBatchNorm mean/var live in the params tree with zero
+    gradients; weight decay must never shrink them (ADVICE r4)."""
+    params = {"bn0": {"scale": np.ones((8,)), "bias": np.zeros((8,)),
+                      "mean": np.zeros((8,)), "var": np.ones((8,))},
+              "conv0": {"kernel": np.ones((3, 3, 8, 8)),
+                        "bias": np.zeros((8,))}}
+    mask = wd_mask(params)
+    assert not mask["bn0"]["mean"] and not mask["bn0"]["var"]
+    assert not mask["bn0"]["scale"] and mask["conv0"]["kernel"]
+    # excluded even if a future refactor makes the stats 2-D
+    params["bn0"]["mean"] = np.zeros((8, 1))
+    assert not wd_mask(params)["bn0"]["mean"]
+
+
+def test_trainer_eval_params_fn_hook(tmp_path):
+    """eval_params_fn transforms params before eval AND best-export
+    (vgg11 BN recalibration wiring, ADVICE r4)."""
+    model = create_model("waifu2x.vgg_7")
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    batch = {"x": xs, "y": xs[:, 7:-7, 7:-7].copy()}
+
+    def loss_fn(p, b, k):
+        pred = model.apply({"params": p}, b["x"], train=True)
+        return jnp.mean(jnp.abs(pred - b["y"])), {}
+
+    seen = []
+
+    def eval_fn(p, b):
+        pred = model.apply({"params": p}, b["x"], train=False)
+        return jnp.mean(jnp.abs(pred - b["y"]))
+
+    def eval_params_fn(p):
+        seen.append(True)
+        return p
+
+    cfg = TrainerConfig(model_dir=str(tmp_path), max_epoch=1,
+                        learning_rate=1e-4)
+    tr = Trainer(cfg, model, params, loss_fn, eval_fn, steps_per_epoch=1,
+                 eval_params_fn=eval_params_fn)
+    tr.fit(lambda: iter([batch]), lambda: iter([batch]))
+    assert seen  # hook ran before eval/export
+
+
 def test_adaptive_weight():
     w = calculate_adaptive_weight(jnp.asarray(2.0), jnp.asarray(1.0))
     assert float(w) == pytest.approx(2.0, rel=1e-4)

@@ -186,6 +186,28 @@ def test_unlimited_tile_api(server):
         assert e.code == 400
 
 
+def test_unlimited_tile_info_and_validation(server):
+    """The tile API validates scale/noise against the loaded model and
+    advertises it at /api/tile/info (one fixed model per process)."""
+    import json
+    url, service = server
+    with urllib.request.urlopen(url + "/api/tile/info") as r:
+        info = json.loads(r.read())
+    assert info["scale"] == 2 and info["offset"] == 14
+    assert info["noise"] == -1 and "upconv_7" in info["name"]
+    tile = np.zeros((64, 64, 3), np.float32)
+    # matching scale/noise are accepted
+    with _post_tile(url, tile, w=64, h=64, tta=0, scale=2, noise=-1) as r:
+        assert r.status == 200
+    # mismatched scale / noise are a 400, never a silent wrong conversion
+    for bad in ({"scale": 4}, {"noise": 3}):
+        try:
+            _post_tile(url, tile, w=64, h=64, tta=0, **bad)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
 def test_unlimited_tile_tta(server):
     url, _ = server
     rng = np.random.default_rng(6)
