@@ -118,3 +118,54 @@ def test_addons_registered():
     mods = [m.__name__ for m, _fn in load_addons("train")]
     for name in ("inpaint", "sod", "depth_aa", "da3mono"):
         assert any(name in m for m in mods), (name, mods)
+
+
+def test_find_mapper_fits():
+    """The grid fits recover the reference's published parameter tables
+    (reference iw3/training/find_mapper.py:94-96, 124-126)."""
+    from nunif_tpu.iw3.training.find_mapper import (
+        fit_softplus_v1_to_v2, fit_softplus_to_hardplus, dump_curves,
+    )
+    r = fit_softplus_v1_to_v2(6.0, n_bias=50, n_scale=50)
+    assert abs(r["bias"] - 0.5) < 0.05 and abs(r["scale"] - 12) < 1.0
+    r = fit_softplus_to_hardplus(2.0, n_bias=200)
+    assert abs(r["bias"] - 0.515) < 0.02  # reference table: mul_2 bias
+
+
+def test_find_mapper_curve_dump(tmp_path):
+    """headless CSV replacement for the reference's matplotlib checks"""
+    from nunif_tpu.iw3.training.find_mapper import dump_curves
+    out = dump_curves(["none", "mul_2"], path=str(tmp_path / "c.csv"), n=64)
+    data = np.loadtxt(out, delimiter=",", skiprows=1)
+    assert data.shape == (64, 3)
+    assert np.all(np.diff(data[:, 2]) >= -1e-6)  # mapper is monotone
+
+
+def test_count_mask(tmp_path):
+    from nunif_tpu.iw3.training.sbs.count_mask import count_mask_ratio
+    from PIL import Image
+    import numpy as _np
+    d = tmp_path / "masks"
+    d.mkdir()
+    m = _np.zeros((10, 10), _np.uint8)
+    m[:2, :5] = 255  # 10 fg, 90 bg
+    Image.fromarray(m).save(d / "a_ML.png")
+    Image.fromarray(_np.zeros((10, 10), _np.uint8)).save(d / "b_ML.png")
+    Image.fromarray(m).save(d / "ignored.png")  # wrong suffix: skipped
+    bg, fg = count_mask_ratio(str(d), progress_every=0)
+    assert fg == 10 and bg == 190
+
+
+def test_sample_frames(tmp_path):
+    from nunif_tpu.iw3.training.sample_frames import sample_frames, md5_name
+    from nunif_tpu.video import backend
+    if not backend.available():
+        pytest.skip("native video backend unavailable")
+    from tests.test_video import _make_video
+    src = str(tmp_path / "in.mp4")
+    _make_video(src, n_frames=24, fps=12)
+    out = str(tmp_path / "frames")
+    n = sample_frames(src, out, samples=6)
+    files = sorted(os.listdir(out))
+    assert n == len(files) and 4 <= n <= 8
+    assert all(f.startswith(md5_name("in.mp4")) for f in files)
