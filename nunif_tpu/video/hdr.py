@@ -1,8 +1,8 @@
 """HDR -> SDR tone mapping, jitted on device.
 
-Behavioral parity target: reference ``hdr2sdr`` (nunif/utils/video.py:309-417)
-— BT.2020 PQ/HLG input frames are converted to BT.709 SDR on device before
-the model callback — plus the HDR-metadata reader role of
+Numeric parity target: reference ``hdr2sdr`` (nunif/utils/video.py:309-417)
+— BT.2020 PQ/HLG input frames are converted to BT.709/BT.601 SDR on device
+before the model callback — plus the HDR-metadata reader role of
 nunif/utils/pyav_extra.py:6-25 (mastering display max luminance / MaxCLL),
 which here comes from the native reader (native/video_io.cpp
 ``vio_reader_color_info``).
@@ -11,11 +11,16 @@ TPU design: one fused XLA program per frame geometry, uint8/uint16 in ->
 uint8/uint16 out.  All math in fp32 (color transforms are too precision-
 sensitive for bf16 at the black end of the PQ curve).
 
-Pipeline: decode EOTF (PQ: SMPTE ST 2084; HLG: ARIB STD-B67 inverse OETF +
-BT.2100 OOTF) -> absolute nits -> normalize by SDR reference white (203 nits,
-ITU-R BT.2408) -> extended-Reinhard luminance tone map bounded by the
-content peak (mastering display max luminance, MaxCLL, or 1000 nits) ->
-BT.2020->BT.709 gamut matrix with soft clip -> BT.709-ish display gamma 2.2.
+Two tone-map modes:
+
+- ``mode="hable"`` (default): the reference algorithm exactly — PQ/HLG
+  EOTF -> fixed exposure -> Hable filmic curve normalized by a white
+  point -> BT.2020->BT.709/601 matrix -> BT.709 piecewise OETF.  Golden
+  tested against the actual reference code (tests/test_golden_reference).
+- ``mode="bt2390"``: a metadata-driven alternative — absolute nits ->
+  BT.2408 203-nit reference white -> knee rolloff bounded by the content
+  peak (mastering max luminance / MaxCLL via ``choose_peak_nits``) ->
+  gamut matrix with desaturating soft clip -> display gamma 2.2.
 """
 from __future__ import annotations
 
@@ -81,8 +86,75 @@ def _tonemap_luminance(y_rel, peak_rel, knee=0.75):
     return jnp.where(y_rel <= knee, y_rel, roll)
 
 
+# BT.2020 -> BT.601 (reference video.py:382-387)
+_BT2020_TO_BT601 = jnp.array([
+    [1.5540, -0.5143, -0.0397],
+    [-0.1017, 1.1147, -0.0130],
+    [-0.0163, -0.0886, 1.1049],
+], jnp.float32)
+
+# reference uses 4-decimal truncations of the BT.709 matrix (video.py:376-380)
+_BT2020_TO_BT709_REF = jnp.array([
+    [1.6605, -0.5876, -0.0728],
+    [-0.1246, 1.1329, -0.0083],
+    [-0.0182, -0.1006, 1.1187],
+], jnp.float32)
+
+
+def _hable(v, e=0.02):
+    """Hable filmic curve, reference constants (video.py:356-358)."""
+    A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, e, 0.30
+    return ((v * (A * v + C * B) + D * E) / (v * (A * v + B) + D * F)) - E / F
+
+
+def hdr2sdr_ref_float(rgb, trc: int, output_colorspace: str = "bt709",
+                      pq_exposure: float = 110.0,
+                      pq_white_point: float = 5.0,
+                      hlg_exposure: float = 1.2,
+                      hlg_white_point: float = 0.8,
+                      hlg_saturation_gain: float = 0.9):
+    """Reference-exact hdr2sdr (nunif/utils/video.py:309-417).
+
+    float32 BT.2020 PQ/HLG-encoded RGB [0,1] -> BT.709/601 OETF RGB [0,1].
+    """
+    x = rgb.astype(jnp.float32)
+    if trc == TRC_PQ:
+        # SMPTE ST 2084 EOTF to [0,1] linear (reference video.py:330-334)
+        m1 = 2610.0 / 16384.0
+        m2 = 2523.0 / 4096.0 * 128.0
+        c1 = 3424.0 / 4096.0
+        c2 = 2413.0 / 4096.0 * 32.0
+        c3 = 2392.0 / 4096.0 * 32.0
+        p = jnp.power(x, 1.0 / m2)
+        lin = jnp.power(jnp.maximum(p - c1, 0.0) / (c2 - c3 * p), 1.0 / m1)
+        exposure, white, hable_e = pq_exposure, pq_white_point, 0.02
+    else:
+        a, b, c = 0.17883277, 0.28466892, 0.55991073
+        lin = jnp.where(x <= 0.5,
+                        (x * x) / 3.0,
+                        (jnp.exp((x - c) / a) + b) / 12.0)
+        exposure, white, hable_e = hlg_exposure, hlg_white_point, 0.01
+
+    sdr = _hable(lin * exposure, hable_e) / _hable(
+        jnp.asarray(white, jnp.float32), hable_e)
+    if trc == TRC_HLG and hlg_saturation_gain < 1.0:
+        luma = jnp.einsum("...c,c->...", sdr, jnp.array(
+            [0.2126, 0.7152, 0.0722], jnp.float32))[..., None]
+        sdr = sdr * hlg_saturation_gain + luma * (1.0 - hlg_saturation_gain)
+
+    matrix = (_BT2020_TO_BT709_REF if output_colorspace == "bt709"
+              else _BT2020_TO_BT601)
+    out = jnp.clip(jnp.einsum("...c,dc->...d", sdr, matrix), 0.0, 1.0)
+    # BT.709 piecewise OETF (reference video.py:394-398)
+    out = jnp.where(out < 0.018,
+                    out * 4.5,
+                    1.099 * jnp.power(out, 0.45) - 0.099)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 def hdr2sdr_float(rgb, trc: int, peak_nits: float):
-    """float32 BT.2020 PQ/HLG-encoded RGB [0,1] -> BT.709 gamma-2.2 RGB [0,1]."""
+    """float32 BT.2020 PQ/HLG-encoded RGB [0,1] -> BT.709 gamma-2.2 RGB [0,1]
+    (``mode="bt2390"`` metadata-driven alternative; see module docstring)."""
     rgb = rgb.astype(jnp.float32)
     if trc == TRC_HLG:
         nits = hlg_eotf(rgb)
@@ -108,13 +180,18 @@ def hdr2sdr_float(rgb, trc: int, peak_nits: float):
     return jnp.power(rgb709, 1.0 / 2.2)
 
 
-@functools.partial(jax.jit, static_argnames=("trc", "peak_nits", "out_uint16"))
+@functools.partial(jax.jit, static_argnames=(
+    "trc", "peak_nits", "out_uint16", "mode", "output_colorspace"))
 def hdr2sdr_frames(frames, trc: int = TRC_PQ, peak_nits: float = 1000.0,
-                   out_uint16: bool = False):
+                   out_uint16: bool = False, mode: str = "hable",
+                   output_colorspace: str = "bt709"):
     """uint8/uint16 BHWC HDR frames -> SDR frames of the same integer kind."""
     maxv = 65535.0 if frames.dtype == jnp.uint16 else 255.0
     x = frames.astype(jnp.float32) / maxv
-    y = hdr2sdr_float(x, trc, peak_nits)
+    if mode == "hable":
+        y = hdr2sdr_ref_float(x, trc, output_colorspace=output_colorspace)
+    else:
+        y = hdr2sdr_float(x, trc, peak_nits)
     if out_uint16:
         return (y * 65535.0 + 0.5).astype(jnp.uint16)
     return (y * 255.0 + 0.5).astype(jnp.uint8)

@@ -285,8 +285,27 @@ def _install_av_stub():
     sidedata_pkg.sidedata = sidedata_mod
     av.sidedata = sidedata_pkg
     av.error = types.SimpleNamespace(FFMpegError=OSError)
+
+    # `hdr2sdr` builds its output via av.video.frame.VideoFrame.from_ndarray
+    # (reference video.py:399); the stub just holds the ndarray.
+    frame_mod = types.ModuleType("av.video.frame")
+
+    class VideoFrame:
+        @staticmethod
+        def from_ndarray(arr, format=None):
+            f = VideoFrame()
+            f.arr = arr
+            f.format = format
+            return f
+
+        from_image = from_ndarray
+
+    frame_mod.VideoFrame = VideoFrame
+    video_mod.frame = frame_mod
+
     sys.modules["av"] = av
     sys.modules["av.video"] = video_mod
+    sys.modules["av.video.frame"] = frame_mod
     sys.modules["av.video.reformatter"] = reformatter
     sys.modules["av.sidedata"] = sidedata_pkg
     sys.modules["av.sidedata.sidedata"] = sidedata_mod
@@ -505,3 +524,38 @@ def test_stlizer_smoothing_golden(reference, method):
         np.testing.assert_allclose(np.asarray(g).ravel(),
                                    w.numpy().ravel(), atol=1e-4,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("trc,cs", [
+    (16, "bt709"), (18, "bt709"), (16, "bt601"), (18, "bt601")])
+def test_hdr2sdr_golden(reference, trc, cs):
+    """Reference HDR->SDR tone map (PQ/HLG EOTF + Hable + gamut matrix +
+    BT.709 OETF; /root/reference/nunif/utils/video.py:309-417, the actual
+    torch implementation) vs nunif_tpu's jitted hable mode on the same
+    rgb48 frame."""
+    _install_av_stub()
+    from nunif.utils.video import hdr2sdr
+
+    from nunif_tpu.video.hdr import hdr2sdr_frames
+
+    rng = np.random.default_rng(78)
+    H, W = 48, 64
+    rgb48 = (rng.uniform(0.0, 1.0, (H, W, 3)) * 65535).astype(np.uint16)
+    # include exact black/white and the PQ 203-nit anchor row
+    rgb48[0] = 0
+    rgb48[1] = 65535
+    rgb48[2] = int(0.5807 * 65535)
+
+    frame = types.SimpleNamespace(
+        colorspace=9, color_range=2, pts=0, dts=0, time_base=None,
+        opaque=None,
+        to_ndarray=lambda **kw: rgb48)
+    want = hdr2sdr(frame, trc, cs).arr.astype(np.float32) / 65535.0
+
+    got = np.asarray(hdr2sdr_frames(
+        rgb48[None], trc=trc, out_uint16=True, mode="hable",
+        output_colorspace=cs))[0].astype(np.float32) / 65535.0
+
+    # reference truncates to uint16, ours rounds: <=1 LSB; plus fp32
+    # reassociation between torch.mm and the einsum
+    np.testing.assert_allclose(got, want, atol=8.0 / 65535.0)
