@@ -110,13 +110,50 @@ def bench_iw3():
 
     n = int(os.environ.get("BENCH_FRAMES", "96"))
     iters = max(n // bsz, 1)
-    t0 = time.perf_counter()
-    s = 0
-    for _i in range(iters):
-        s = s + cksum(proc(batch))
-    _ = int(s)
-    dt = time.perf_counter() - t0
-    fps = iters * bsz / dt
+    loop_mode = os.environ.get("BENCH_LOOP", "device")
+    if loop_mode != "host" and getattr(proc, "_full_jit", None) is not None:
+        # steady-state device loop (DEFAULT): the whole prep->depth->
+        # normalize->warp->compose batch program repeats k times inside
+        # ONE dispatch (forced inter-batch dependency) — the chip's
+        # pipelined throughput, immune to this harness's per-dispatch
+        # tunnel latency (0 -> ~600 ms between sessions; see the waifu2x
+        # metric's note).  Valid because the default config's EMA decay=0
+        # makes the pipeline stateless per frame.
+        inner = proc._full_jit
+
+        @jax.jit
+        def loop_fn(b, k):
+            def body(_, carry):
+                acc, bb = carry
+                y = inner(bb)
+                s = jnp.sum((y * 255).astype(jnp.uint32))
+                px = jnp.round(y[0, 0, 0, 0] * 255).astype(jnp.uint8)
+                bb = bb.at[0, 0, 0, 0].set(px)
+                return acc + s, bb
+            return jax.lax.fori_loop(0, k, body, (jnp.uint32(0), b))[0]
+
+        b_dev = jnp.asarray(batch)
+        _ = int(loop_fn(b_dev, 2))
+        k_lo, k_hi = 2, max(iters, 4)
+
+        def run(k):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _ = int(loop_fn(b_dev, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        dt = max(run(k_hi) - run(k_lo), 1e-9)
+        iters = k_hi - k_lo
+        fps = iters * bsz / dt
+    else:
+        t0 = time.perf_counter()
+        s = 0
+        for _i in range(iters):
+            s = s + cksum(proc(batch))
+        _ = int(s)
+        dt = time.perf_counter() - t0
+        fps = iters * bsz / dt
     baseline_fps = 60.0  # >60 FPS 2D->SBS north star (BASELINE.md)
     print(json.dumps({
         "metric": "iw3_1080p_2d_to_half_sbs_fps",
@@ -127,6 +164,9 @@ def bench_iw3():
         "d2h": False,
         "batch": bsz,
         "frames": iters * bsz,
+        "loop": ("device" if loop_mode != "host"
+                 and getattr(proc, "_full_jit", None) is not None
+                 else "host"),
     }))
 
 
@@ -210,13 +250,89 @@ def bench_iw3_vda():
 
     n = int(os.environ.get("BENCH_FRAMES", "48"))
     iters = max(n // bsz, 1)
-    t0 = time.perf_counter()
-    s = 0
-    for _i in range(iters):
-        s = s + cksum(one_batch(batch))
-    _ = int(s)
-    dt = time.perf_counter() - t0
-    fps = iters * bsz / dt
+    loop_mode = os.environ.get("BENCH_LOOP", "device")
+    is_stream = getattr(depth_model, "stateful_inference", False)
+    if loop_mode != "host" and is_stream and depth_model.scaler.decay == 0:
+        # steady-state device loop (DEFAULT): the whole assembled batch —
+        # stlizer warp -> prep -> VDA streaming scan (temporal ring caches
+        # threaded through the loop carry) -> postprocess -> per-frame
+        # minmax normalize (exact: decay=0) -> MLBW warp -> half-SBS —
+        # repeats k times inside ONE dispatch.  Same math as proc() for
+        # the default config; immune to this harness's per-dispatch
+        # tunnel latency (0 -> ~600 ms between sessions).
+        from nunif_tpu.iw3.depth.vda import vda_preprocess, vda_postprocess
+        from nunif_tpu.iw3.pipeline import preprocess_image
+
+        model = depth_model.model
+        dparams = depth_model.params
+        norm = depth_model.scaler.normalize
+
+        def vda_batch(batch_u8, caches):
+            stab, _k = stlizer_stage(batch_u8, shift, angle)
+            x = preprocess_image(
+                stab.astype(jnp.float32) * (1.0 / 255.0), cfg)
+            xp = vda_preprocess(x, depth_model.prep_lower_bound,
+                                depth_model.metric_depth,
+                                limit_resolution=depth_model.limit_resolution)
+
+            def body(c, frame):
+                out, nc = model.apply(
+                    {"params": dparams},
+                    frame.astype(jnp.bfloat16)[None, None], caches=c)
+                return nc, out[0, 0].astype(jnp.float32)
+            caches, outs = jax.lax.scan(body, caches, xp)
+            d = vda_postprocess(outs, edge_dilation=0,
+                                metric_depth=depth_model.metric_depth,
+                                force_disparity=depth_model.force_disparity)
+            mn = jnp.min(d, axis=(1, 2, 3), keepdims=True)
+            mx = jnp.max(d, axis=(1, 2, 3), keepdims=True)
+            y = proc._compose_impl(norm(d, mn, mx), x)
+            return y, caches
+
+        @jax.jit
+        def loop_fn(b, caches, k):
+            def body(_, carry):
+                acc, bb, c = carry
+                y, c = vda_batch(bb, c)
+                s = jnp.sum((y * 255).astype(jnp.uint32))
+                px = jnp.round(y[0, 0, 0, 0] * 255).astype(jnp.uint8)
+                bb = bb.at[0, 0, 0, 0].set(px)
+                return acc + s, bb, c
+            out = jax.lax.fori_loop(0, k, body,
+                                    (jnp.uint32(0), b, caches))
+            return out[0]
+
+        # cache shapes come from the preprocessed resolution
+        xp_probe = vda_preprocess(
+            jnp.zeros((1, 1080, 1920, 3), jnp.float32),
+            depth_model.prep_lower_bound, depth_model.metric_depth,
+            limit_resolution=depth_model.limit_resolution)
+        caches0 = model.init_caches(1, int(xp_probe.shape[1]),
+                                    int(xp_probe.shape[2]))
+        b_dev = jnp.asarray(batch)
+        _ = int(loop_fn(b_dev, caches0, 2))
+        k_lo, k_hi = 2, max(iters, 4)
+
+        def run(k):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _ = int(loop_fn(b_dev, caches0, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        dt = max(run(k_hi) - run(k_lo), 1e-9)
+        iters = k_hi - k_lo
+        fps = iters * bsz / dt
+        loop_used = "device"
+    else:
+        t0 = time.perf_counter()
+        s = 0
+        for _i in range(iters):
+            s = s + cksum(one_batch(batch))
+        _ = int(s)
+        dt = time.perf_counter() - t0
+        fps = iters * bsz / dt
+        loop_used = "host"
     baseline_fps = 60.0  # >60 FPS 2D->3D video north star (BASELINE.md)
     print(json.dumps({
         "metric": "iw3_vda_stlizer_mlbw_1080p_fps",
@@ -227,6 +343,7 @@ def bench_iw3_vda():
         "d2h": False,
         "batch": bsz,
         "frames": iters * bsz,
+        "loop": loop_used,
     }))
 
 
