@@ -559,3 +559,183 @@ def test_hdr2sdr_golden(reference, trc, cs):
     # reference truncates to uint16, ours rounds: <=1 LSB; plus fp32
     # reassociation between torch.mm and the einsum
     np.testing.assert_allclose(got, want, atol=8.0 / 65535.0)
+
+
+def test_stlizer_pass1_match_golden(reference):
+    """Reference keypoint cosine matching (stlizer pass 1 core;
+    /root/reference/nunif/utils/superpoint.py:207-224) vs nunif_tpu's
+    masked static-shape find_match_index on the same descriptors."""
+    from nunif.utils.superpoint import find_match_index as ref_match
+
+    from nunif_tpu.utils.superpoint import find_match_index as tpu_match
+
+    rng = np.random.default_rng(79)
+    K, D = 64, 256
+    d1 = rng.normal(size=(K, D)).astype(np.float32)
+    d2 = rng.normal(size=(K, D)).astype(np.float32)
+    # make some strong correspondences so both sides of the threshold occur
+    d2[:40] = d1[rng.permutation(64)[:40]] + rng.normal(
+        0, 0.05, (40, D)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    kp = rng.uniform(0, 320, (K, 2)).astype(np.float32)
+
+    i1_ref, i2_ref, score_ref = ref_match(
+        {"descriptors": torch.from_numpy(d1)},
+        {"descriptors": torch.from_numpy(d2)},
+        threshold=0.9, return_score_all=True)
+
+    ones = np.ones((K,), bool)
+    i1, i2, valid, sims = tpu_match(
+        {"descriptors": jnp.asarray(d1), "valid": jnp.asarray(ones),
+         "keypoints": jnp.asarray(kp)},
+        {"descriptors": jnp.asarray(d2), "valid": jnp.asarray(ones),
+         "keypoints": jnp.asarray(kp)},
+        threshold=0.9)
+
+    valid = np.asarray(valid)
+    assert valid.sum() > 10  # the test must exercise both branches
+    np.testing.assert_array_equal(np.asarray(i1)[valid], i1_ref.numpy())
+    np.testing.assert_array_equal(np.asarray(i2)[valid], i2_ref.numpy())
+    np.testing.assert_allclose(np.asarray(sims), score_ref.numpy(),
+                               atol=1e-5)
+
+
+def test_stlizer_pass2_transform_golden(reference):
+    """Reference robust batched transform estimation (stlizer pass 2;
+    /root/reference/nunif/utils/superpoint.py:233-328: Adam + cosine
+    annealing + sigma outlier rejection) vs nunif_tpu's fori_loop/optax
+    find_transform on the same correspondences."""
+    from nunif.utils.superpoint import find_transform as ref_find
+
+    from nunif_tpu.utils.superpoint import find_transform as tpu_find
+
+    rng = np.random.default_rng(80)
+    B, K = 4, 96
+    xy1 = rng.uniform(40, 280, (B, K, 2)).astype(np.float32)
+    true_shift = rng.uniform(-6, 6, (B, 1, 2)).astype(np.float32)
+    true_angle = rng.uniform(-1.5, 1.5, (B,)).astype(np.float32)
+    c, s = np.cos(np.radians(true_angle)), np.sin(np.radians(true_angle))
+    center = np.full((B, 1, 2), 160.0, np.float32)
+    rel = xy1 - center
+    xy2 = np.stack([rel[..., 0] * c[:, None] - rel[..., 1] * s[:, None],
+                    rel[..., 0] * s[:, None] + rel[..., 1] * c[:, None]],
+                   axis=-1) + center + true_shift
+    xy2 += rng.normal(0, 0.3, xy2.shape).astype(np.float32)
+    xy2[:, :8] += rng.uniform(20, 60, (B, 8, 2)).astype(np.float32)  # outliers
+    mask = np.ones((B, K), bool)
+    mask[:, 90:] = False  # variable-count padding like pack_points
+
+    shift_ref, scale_ref, angle_ref, _ = ref_find(
+        torch.from_numpy(xy1), torch.from_numpy(xy2),
+        center=torch.from_numpy(center),
+        mask=torch.from_numpy(mask)[..., None].expand(B, K, 2),
+        iteration=50, sigma=2.0, disable_scale=True)
+
+    shift, scale, angle = tpu_find(
+        jnp.asarray(xy1), jnp.asarray(xy2), jnp.asarray(center),
+        jnp.asarray(mask), iteration=50, sigma=2.0, disable_scale=True)
+
+    # both should recover the synthetic transform AND agree with each
+    # other (same optimizer math; fp32 reassociation only)
+    np.testing.assert_allclose(np.asarray(shift), shift_ref.numpy(),
+                               atol=0.15)
+    np.testing.assert_allclose(np.asarray(angle).ravel(),
+                               angle_ref.numpy().ravel(), atol=0.05)
+    np.testing.assert_allclose(np.asarray(shift), true_shift.reshape(B, 2),
+                               atol=0.5)
+    np.testing.assert_allclose(np.asarray(scale), scale_ref.numpy().ravel(),
+                               atol=1e-6)  # both disabled -> exactly 1
+
+
+def test_vda_streaming_scene_flush_golden(reference):
+    """Reference scene-flush semantics for streaming depth (the per-frame
+    normalize -> flush lookahead -> reset-EMA ordering at a cut;
+    /root/reference/iw3/base_depth_model.py:182-194, driven by
+    /root/reference/iw3/utils.py:698-702 segment_pts) vs nunif_tpu's
+    batched update_batch(reset_flags) over the same multi-batch depth
+    stream with EMA decay and a lookahead buffer."""
+    from iw3.base_depth_model import BaseDepthModel as RefBase
+
+    from nunif_tpu.iw3.depth.base import BaseDepthModel as TpuBase
+
+    class RefStub(RefBase):
+        @classmethod
+        def get_name(cls):
+            return "stub"
+
+        @classmethod
+        def supported(cls, model_type):
+            return True
+
+        def load_model(self, model_type, resolution=None, device=None):
+            return None
+
+        def infer(self, x, **kwargs):
+            return x
+
+        def is_metric(self):
+            return False
+
+        @classmethod
+        def has_checkpoint_file(cls, model_type):
+            return False
+
+        @classmethod
+        def get_model_path(cls, model_type):
+            return ""
+
+        @classmethod
+        def multi_gpu_supported(cls, model_type):
+            return False
+
+        @classmethod
+        def force_update(cls):
+            pass
+
+    class TpuStub(TpuBase):
+        @classmethod
+        def get_name(cls):
+            return "stub"
+
+        @classmethod
+        def supported(cls, model_type):
+            return True
+
+        def load_model(self, model_type, **kwargs):
+            return None, None
+
+        def infer(self, x, **kwargs):
+            return x
+
+        def is_metric(self):
+            return False
+
+    ref = RefStub("stub")
+    tpu = TpuStub("stub")
+    ref.enable_ema(decay=0.85, buffer_size=3)
+    tpu.enable_ema(decay=0.85, buffer_size=3)
+
+    rng = np.random.default_rng(81)
+    # 3 batches of 6 frames; scene cuts AFTER frames 4 and 13 (mid-batch
+    # and cross-batch relative to the lookahead buffer)
+    frames = rng.uniform(-1.0, 4.0, (18, 1, 16, 24)).astype(np.float32)
+    cuts = {4, 13}
+
+    want, got = [], []
+    for b in range(3):
+        chunk = frames[b * 6:(b + 1) * 6]
+        flags = [(b * 6 + i) in cuts for i in range(6)]
+        out_ref = ref.minmax_normalize(torch.from_numpy(chunk),
+                                       reset_ema=list(flags))
+        want.extend(o.numpy() for o in out_ref)
+        out_tpu = tpu.minmax_normalize(
+            jnp.asarray(chunk.transpose(0, 2, 3, 1)), reset_ema=list(flags))
+        got.extend(np.asarray(o).transpose(2, 0, 1) for o in out_tpu)
+    want.extend(o.numpy() for o in ref.flush_minmax_normalize())
+    got.extend(np.asarray(o).transpose(2, 0, 1)
+               for o in tpu.flush_minmax_normalize())
+
+    assert len(want) == len(got) == 18
+    for i, (w, g) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(g, w, atol=3e-5, err_msg=f"frame {i}")
