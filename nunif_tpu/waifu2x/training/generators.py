@@ -94,14 +94,95 @@ def gen_text_image(size: int = 640, seed=None) -> Image.Image:
     return im
 
 
+def gen_shapes(size: int = 640, seed=None) -> Image.Image:
+    """Anti-aliased vector art: overlapping ellipses/polygons/lines/arcs
+    rendered at 2x and LANCZOS-downscaled, over a flat or gradient
+    background.  Teaches the SR model clean anti-aliased edge
+    reconstruction — the dominant content of line art / anime frames
+    (the reference trains on real art; this is the zero-dataset stand-in)."""
+    rng = random.Random(seed)
+    ss = 2
+    big = size * ss
+    bg = _rand_color(rng, grayscale_p=0.3)
+    im = Image.new("RGB", (big, big), bg)
+    draw = ImageDraw.Draw(im)
+    if rng.random() < 0.4:  # vertical gradient background
+        c2 = _rand_color(rng, grayscale_p=0.3)
+        for y in range(big):
+            t = y / max(big - 1, 1)
+            col = tuple(int(a + (b - a) * t) for a, b in zip(bg, c2))
+            draw.line((0, y, big, y), fill=col)
+    n = rng.randint(8, 40)
+    for _ in range(n):
+        fg = _rand_color(rng, grayscale_p=0.3)
+        kind = rng.choice(["ellipse", "poly", "line", "arc", "rect"])
+        cx, cy = rng.randint(0, big), rng.randint(0, big)
+        r = rng.randint(big // 40, big // 3)
+        if kind == "ellipse":
+            rx, ry = r, int(r * rng.uniform(0.3, 1.0))
+            outline = rng.random() < 0.3
+            if outline:
+                draw.ellipse((cx - rx, cy - ry, cx + rx, cy + ry),
+                             outline=fg, width=rng.randint(ss, 4 * ss))
+            else:
+                draw.ellipse((cx - rx, cy - ry, cx + rx, cy + ry), fill=fg)
+        elif kind == "poly":
+            k = rng.randint(3, 7)
+            pts = [(cx + rng.randint(-r, r), cy + rng.randint(-r, r))
+                   for _ in range(k)]
+            draw.polygon(pts, fill=fg)
+        elif kind == "line":
+            x1, y1 = cx + rng.randint(-r, r), cy + rng.randint(-r, r)
+            draw.line((cx, cy, x1, y1), fill=fg,
+                      width=rng.randint(ss, 5 * ss))
+        elif kind == "arc":
+            a0 = rng.uniform(0, 360)
+            draw.arc((cx - r, cy - r, cx + r, cy + r), a0,
+                     a0 + rng.uniform(40, 300), fill=fg,
+                     width=rng.randint(ss, 4 * ss))
+        else:
+            w2 = rng.randint(big // 40, r)
+            draw.rectangle((cx, cy, cx + r, cy + w2), fill=fg)
+    if rng.random() < 0.3:
+        im = im.rotate(rng.uniform(-30, 30), resample=Image.BILINEAR,
+                       fillcolor=bg)
+    return im.resize((size, size), Image.LANCZOS)
+
+
+def gen_gradient(size: int = 640, seed=None) -> Image.Image:
+    """Smooth multi-stop radial/linear gradients (banding/flat-region
+    fidelity: SR must not invent texture in smooth areas)."""
+    rng = random.Random(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    if rng.random() < 0.5:
+        ang = rng.uniform(0, 2 * np.pi)
+        t = xx * np.cos(ang) + yy * np.sin(ang)
+    else:
+        cx, cy = rng.random(), rng.random()
+        t = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+    t = (t - t.min()) / max(t.max() - t.min(), 1e-6)
+    c0 = np.asarray(_rand_color(rng, 0.3), np.float32)
+    c1 = np.asarray(_rand_color(rng, 0.3), np.float32)
+    img = c0[None, None] * (1 - t[..., None]) + c1[None, None] * t[..., None]
+    return Image.fromarray(img.round().astype(np.uint8))
+
+
 GENERATORS = {
     "screentone": gen_screentone,
     "dot": gen_dot_grid,
     "text": gen_text_image,
+    "shapes": gen_shapes,
+    "gradient": gen_gradient,
 }
+
+# shapes dominates the mix: anti-aliased edges are what 2x SR must learn;
+# the pattern generators cover the aliased/high-frequency tail
+_WEIGHTS = {"screentone": 1.0, "dot": 1.0, "text": 2.0, "shapes": 5.0,
+            "gradient": 1.0}
 
 
 def gen_random(size: int = 640, seed=None) -> Image.Image:
     rng = random.Random(seed)
-    name = rng.choice(list(GENERATORS))
+    names = list(GENERATORS)
+    name = rng.choices(names, weights=[_WEIGHTS[n] for n in names])[0]
     return GENERATORS[name](size, seed=rng.randint(0, 2 ** 31))

@@ -148,6 +148,8 @@ DEFAULT_LOSSES = {
     "waifu2x.swin_unet_v2_1x": "lbp",
     "waifu2x.swin_unet_v2_2x": "lbp",
     "waifu2x.swin_unet_v2_4x": "lbp5",
+    # PSNR-acceptance arch (benchmark protocol): luma-weighted charbonnier
+    "waifu2x.turbo_2x": "y_charbonnier",
 }
 
 

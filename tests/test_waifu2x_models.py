@@ -236,3 +236,82 @@ def test_patchup_v1_parity(monkeypatch):
     m1 = PatchUp(4)
     got = np.asarray(m1.apply({"params": p}, x))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestTurbo2x:
+    """TPU-native turbo_2x: catrom polyphase base + half-res residual CNN
+    (no reference analogue; acceptance protocol is PSNR vs the catrom
+    baseline, reference waifu2x/docs/training.md:131-147)."""
+
+    def test_init_is_catrom_baseline(self):
+        """Zero-init tail => an untrained model IS the catrom 2x upscale."""
+        from nunif_tpu.models import create_model
+        from nunif_tpu.modules.resize import resize
+
+        m = create_model("waifu2x.turbo_2x")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0.1, 0.9, (2, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x),
+                                 train=False))
+        assert got.shape == (2, 96, 96, 3)  # 2*64 - 2*offset(16)
+        want = np.asarray(resize(jnp.asarray(x), 128, 128, mode="catrom",
+                                 antialias=False))
+        want = np.clip(want[:, 16:112, 16:112], 0, 1)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_pre_shuffle_layout(self):
+        import dataclasses
+        from nunif_tpu.models import create_model
+        from nunif_tpu.modules.permute import pixel_shuffle
+
+        m = create_model("waifu2x.turbo_2x")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        y = m.apply({"params": params}, x, train=False)
+        yps = dataclasses.replace(m, pre_shuffle_output=True).apply(
+            {"params": params}, x, train=False)
+        assert yps.shape == (1, 48, 48, 12)
+        np.testing.assert_allclose(np.asarray(pixel_shuffle(yps, 2)),
+                                   np.asarray(y), atol=1e-6)
+
+    def test_tiled_render_matches_whole(self):
+        """Tiled render (seam blend path) vs whole-image render; trained-
+        like random weights (not the zero tail) to exercise the body."""
+        from nunif_tpu.models import create_model
+        from nunif_tpu.utils.tiling import TiledRenderer, simple_render
+        from nunif_tpu.core.dtypes import FP32_POLICY
+
+        m = create_model("waifu2x.turbo_2x", dim=32, blocks=2)
+        params = m.init_params(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        # randomize the zero-init tail so the test sees non-baseline output
+        params = jax.tree.map(
+            lambda p: p + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(2), p.shape, p.dtype), params)
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1, (70, 90, 3)).astype(np.float32)
+        renderer = TiledRenderer(m, params, policy=FP32_POLICY)
+        got = np.asarray(renderer.render(x, tile_size=64, batch_size=2))
+        want = np.asarray(simple_render(x, m, params, policy=FP32_POLICY))
+        assert got.shape == want.shape == (140, 180, 3)
+        # interior must agree to fp tolerance; seams are blended
+        d = np.abs(got - want)
+        assert d.mean() < 2e-3 and np.median(d) < 1e-4
+
+    def test_training_gradients_flow(self):
+        from nunif_tpu.models import create_model
+
+        m = create_model("waifu2x.turbo_2x", dim=16, blocks=1)
+        params = m.init_params(jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+        def loss_fn(p, x, y):
+            out = m.apply({"params": p}, x, train=True)
+            return jnp.mean((out - y) ** 2)
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+        out = m.apply({"params": params}, x, train=True)
+        g = jax.grad(loss_fn)(params, x, jnp.zeros_like(out))
+        gn = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
+        assert np.isfinite(gn) and gn > 0
