@@ -180,6 +180,12 @@ def main(argv=None):
     p.add_argument("--input", default=None,
                    help="video file looped as the frame source "
                         "(default: synthetic test pattern)")
+    p.add_argument("--capture", default=None, metavar="ADDR",
+                   help="accept frames from a host-side grabber over a "
+                        "socket instead of --input: 'listen:PORT', "
+                        "'HOST:PORT' or 'unix:/path' (protocol IW3CAP01, "
+                        "see iw3/capture_source.py; TPU-native counterpart "
+                        "of the reference --screenshot backends)")
     p.add_argument("--bind", default="127.0.0.1")
     p.add_argument("--port", type=int, default=1303)
     p.add_argument("--depth-model", default="NULL")
@@ -197,7 +203,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     state = StreamingState()
-    source = FrameSource(args.input)
+    if args.capture:
+        from .capture_source import SocketFrameSource, parse_capture_address
+        source = SocketFrameSource(parse_capture_address(args.capture))
+        print(f"iw3 desktop: capture socket listening on "
+              f"{source.bound_address}", file=sys.stderr)
+    else:
+        source = FrameSource(args.input)
     stop = threading.Event()
     worker = threading.Thread(target=run_pipeline,
                               args=(state, source, args, stop), daemon=True)
@@ -206,9 +218,13 @@ def main(argv=None):
     print(f"iw3 desktop: http://{args.bind}:{args.port}/", file=sys.stderr)
     try:
         if args.max_frames:
-            # testing mode: run until N frames produced, then exit
+            # testing mode: serve in the background so /stream stays
+            # reachable, run until N frames produced, then exit
+            st = threading.Thread(target=server.serve_forever, daemon=True)
+            st.start()
             while state._seq < args.max_frames and worker.is_alive():
                 time.sleep(0.1)
+            server.shutdown()
         else:
             server.serve_forever()
     except KeyboardInterrupt:

@@ -3,10 +3,12 @@ export/import config."""
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
 import pytest
+from PIL import Image
 
 
 class TestExportConfig:
@@ -203,3 +205,124 @@ class TestPlayerMediaLibrary:
                              for _ in range(4)), 64, 48, fps=8,
                        config=VideoOutputConfig(audio_copy=False))
         assert extract_subtitles(src, src + ".vtt") == 0
+
+
+class TestCaptureSource:
+    """Socket capture plugin (IW3CAP01): the TPU-native extension point
+    replacing the reference's in-process screenshot backends
+    (/root/reference/iw3/desktop/utils.py:252-261)."""
+
+    def test_raw_tcp_roundtrip(self):
+        from nunif_tpu.iw3.capture_source import (
+            SocketFrameSource, FileGrabber, FMT_RAW)
+        src = SocketFrameSource(("127.0.0.1", 0), timeout=20.0)
+        try:
+            rng = np.random.default_rng(0)
+            frames = [rng.integers(0, 255, (36, 64, 3), dtype=np.uint8)
+                      for _ in range(3)]
+            grab = FileGrabber(src.bound_address, fmt=FMT_RAW)
+            t = threading.Thread(target=grab.push, args=(frames,),
+                                 daemon=True)
+            t.start()
+            f = src.next_frame()
+            assert f.shape == (36, 64, 3) and f.dtype == np.uint8
+            t.join(10)
+            # drop-late: after the grabber finishes, newest frame wins
+            f2, seq = src.wait_new_frame(0)
+            assert seq >= 1
+            deadline = time.time() + 10
+            while seq < 3 and time.time() < deadline:
+                f2, seq = src.wait_new_frame(seq)
+            np.testing.assert_array_equal(src.next_frame(), frames[-1])
+        finally:
+            src.close()
+
+    def test_jpeg_unix_roundtrip(self, tmp_path):
+        from nunif_tpu.iw3.capture_source import (
+            SocketFrameSource, FileGrabber, FMT_JPEG)
+        addr = str(tmp_path / "cap.sock")
+        src = SocketFrameSource(addr, timeout=20.0)
+        try:
+            frame = np.full((24, 32, 3), 128, np.uint8)
+            grab = FileGrabber(addr, fmt=FMT_JPEG)
+            t = threading.Thread(target=grab.push, args=([frame],),
+                                 daemon=True)
+            t.start()
+            f = src.next_frame()
+            t.join(10)
+            assert f.shape == (24, 32, 3)
+            assert np.abs(f.astype(int) - 128).max() <= 3  # JPEG tolerance
+        finally:
+            src.close()
+
+    def test_bad_magic_rejected_then_recovers(self):
+        import socket as socket_mod
+        from nunif_tpu.iw3.capture_source import (
+            SocketFrameSource, FileGrabber, FMT_RAW)
+        src = SocketFrameSource(("127.0.0.1", 0), timeout=20.0)
+        try:
+            s = socket_mod.socket()
+            s.connect(src.bound_address)
+            s.sendall(b"NOTMAGIC" + b"\0" * 16)
+            s.close()
+            # a well-behaved grabber can still connect afterwards
+            frame = np.zeros((8, 8, 3), np.uint8)
+            ok = []
+
+            def push():
+                deadline = time.time() + 10
+                while time.time() < deadline:
+                    try:
+                        FileGrabber(src.bound_address, fmt=FMT_RAW).push(
+                            [frame])
+                        ok.append(True)
+                        return
+                    except OSError:
+                        time.sleep(0.2)
+
+            t = threading.Thread(target=push, daemon=True)
+            t.start()
+            f = src.next_frame()
+            t.join(10)
+            assert ok and f.shape == (8, 8, 3)
+        finally:
+            src.close()
+
+    def test_desktop_pipeline_from_capture(self):
+        """End-to-end: desktop pipeline consumes socket-pushed frames."""
+        import argparse
+        from nunif_tpu.iw3.desktop import StreamingState, run_pipeline
+        from nunif_tpu.iw3.capture_source import (
+            SocketFrameSource, FileGrabber, FMT_RAW)
+        src = SocketFrameSource(("127.0.0.1", 0), timeout=30.0)
+        args = argparse.Namespace(
+            input=None, depth_model="NULL", depth_checkpoint=None,
+            stereo_checkpoint=None, method="forward_fill", divergence=2.0,
+            convergence=0.5, resolution=98, full_sbs=False,
+            stream_fps=1000.0, quality=85)
+        state = StreamingState()
+        stop = threading.Event()
+        try:
+            rng = np.random.default_rng(1)
+
+            def feeder():
+                grab = FileGrabber(src.bound_address, fmt=FMT_RAW)
+                grab.push(rng.integers(0, 255, (64, 72, 128, 3),
+                                       dtype=np.uint8))
+
+            ft = threading.Thread(target=feeder, daemon=True)
+            ft.start()
+            t = threading.Thread(target=run_pipeline,
+                                 args=(state, src, args, stop), daemon=True)
+            t.start()
+            deadline = time.time() + 120
+            while state._seq < 2 and time.time() < deadline:
+                time.sleep(0.2)
+            stop.set()
+            assert state._seq >= 2
+            data, _ = state.wait_frame(-1)
+            im = Image.open(io.BytesIO(data))
+            assert im.size[0] == 128  # half-sbs keeps source width
+        finally:
+            stop.set()
+            src.close()
