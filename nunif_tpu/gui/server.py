@@ -470,6 +470,9 @@ def make_handler(service: GuiService):
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="nunif_tpu browser GUI")
     p.add_argument("--port", type=int, default=8813)
     p.add_argument("--bind", default="127.0.0.1")

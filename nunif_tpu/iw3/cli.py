@@ -361,6 +361,9 @@ def _make_cli_mesh(args):
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = create_parser().parse_args(argv)
     from ..utils.pil_io import load_image, save_image
     from .depth import create_depth_model

@@ -176,6 +176,9 @@ def run_pipeline(state: StreamingState, source: FrameSource, args,
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="iw3.desktop", description=__doc__)
     p.add_argument("--input", default=None,
                    help="video file looped as the frame source "

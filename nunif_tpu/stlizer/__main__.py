@@ -7,6 +7,9 @@ import sys
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="stlizer", description=__doc__)
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", required=True)

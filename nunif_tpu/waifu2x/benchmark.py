@@ -49,6 +49,9 @@ def iter_images(d):
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="waifu2x.benchmark", description=__doc__)
     p.add_argument("--input", "-i", required=True, help="eval image dir")
     p.add_argument("--model-file", default=None, help=".nztm checkpoint")

@@ -276,6 +276,9 @@ def process_video(args, w2x: Waifu2x):
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = create_parser().parse_args(argv)
     w2x = _build_runtime(args)
     if args.input.lower().endswith(VIDEO_EXTS):

@@ -348,6 +348,9 @@ def make_handler(service: Waifu2xWebService):
 
 
 def main(argv=None):
+    # first-run UX: persistent compile cache (core/compile_cache.py)
+    from ..core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="waifu2x.web", description=__doc__)
     p.add_argument("--bind", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8812)

@@ -35,6 +35,8 @@ def create_default_parser():
 
 
 def main():
+    from nunif_tpu.core.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from nunif_tpu.addon import load_addons
     parser = argparse.ArgumentParser(prog="train")
     sub = parser.add_subparsers(dest="command", required=True)
