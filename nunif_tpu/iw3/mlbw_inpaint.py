@@ -42,9 +42,15 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_warp(mask_model, shift, preserve_screen_border):
+def _jitted_warp(mask_model, shift, preserve_screen_border, divergence):
+    # divergence is STATIC (part of the cache key): _delta_max_shift needs
+    # a concrete value to pick the bounded shift-and-blend warp — a traced
+    # divergence silently falls back to the XLA gather path, which costs
+    # ~47 ms/frame/layer at 1080p (profiled: 4 gather fusions of 377 ms
+    # per 8-frame batch = ~190 ms/frame, the assembled pipeline's single
+    # biggest cost) vs ~2 ms/frame bounded.
     @jax.jit
-    def fn(params, c, depth, divergence, convergence):
+    def fn(params, c, depth, convergence):
         return apply_divergence_nn_delta_weight(
             mask_model, params, c, depth, divergence=divergence,
             convergence=convergence, shift=shift,
@@ -54,9 +60,9 @@ def _jitted_warp(mask_model, shift, preserve_screen_border):
 
 def _warp_with_mask(mask_model, mask_params, c, depth, divergence,
                     convergence, shift, preserve_screen_border):
-    return _jitted_warp(mask_model, shift, preserve_screen_border)(
-        mask_params, c, depth, jnp.asarray(divergence, jnp.float32),
-        jnp.asarray(convergence, jnp.float32))
+    return _jitted_warp(mask_model, shift, preserve_screen_border,
+                        float(divergence))(
+        mask_params, c, depth, jnp.asarray(convergence, jnp.float32))
 
 
 class _MLBWInpaintBase:
