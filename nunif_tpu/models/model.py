@@ -93,19 +93,37 @@ class Model(nn.Module):
             os.path.expanduser("~"), ".cache", "nunif_tpu", "init")
         if cache_dir != "0":
             import hashlib
-            import inspect
             try:
                 kd = np.asarray(jax.random.key_data(key))
             except (TypeError, ValueError):
                 kd = np.asarray(key)
-            # fold the model's source into the key so editing a model
-            # definition invalidates its cached init tree
-            try:
-                src = inspect.getsource(type(self))
-            except (OSError, TypeError):
-                src = ""
+            # fold the model's LOADED code into the key so editing a model
+            # definition invalidates its cached init tree.  NOT
+            # inspect.getsource: that reads the file at call time, so a
+            # long-running process whose in-memory class predates an
+            # on-disk edit would key its (old) params under the NEW hash,
+            # poisoning the cache for later processes (observed live).
+            import types
+
+            h = hashlib.sha1()
+
+            def _add_code(co):
+                h.update(co.co_code)
+                for c in co.co_consts:
+                    if isinstance(c, types.CodeType):
+                        _add_code(c)
+                    else:
+                        h.update(repr(c).encode())
+
+            for klass in type(self).__mro__:
+                for name in sorted(vars(klass)):
+                    fn = vars(klass)[name]
+                    fn = getattr(fn, "__func__", fn)
+                    if isinstance(fn, types.FunctionType):
+                        h.update(name.encode())
+                        _add_code(fn.__code__)
             ident = repr((_INIT_CACHE_SCHEMA, type(self).__name__,
-                          hashlib.sha1(src.encode()).hexdigest(), sorted(
+                          h.hexdigest(), sorted(
                 model_kwargs(self).items()), tuple(input_shape),
                 kd.tolist()))
             digest = hashlib.sha1(ident.encode()).hexdigest()

@@ -435,12 +435,22 @@ class TiledRenderer:
         out_channels = getattr(model, "out_channels", c)
 
         # pre-shuffle fast path: blend in the model head layout, shuffle
-        # once after quantization (see _build_render_program ps_factor)
+        # once after quantization (see _build_render_program ps_factor).
+        # i2i_ps_factor lets a model emit a COARSER head layout than its
+        # scale (turbo_2x: scale 2 but a (H/2, W/2, C*16) head — nothing
+        # full-resolution exists before the uint8 shuffle); tile geometry
+        # must align to the factor, else fall back to in-model shuffling.
         ps = 1
         field_names = {f.name for f in dataclasses.fields(type(model))}
         if ("pre_shuffle_output" in field_names and model.i2i_scale > 1
                 and model.i2i_offset % model.i2i_scale == 0):
-            ps = int(model.i2i_scale)
+            cand = int(getattr(model, "i2i_ps_factor", model.i2i_scale))
+            out_th_ = tile_hw[0] * cfg.scale - 2 * cfg.offset
+            out_tw_ = tile_hw[1] * cfg.scale - 2 * cfg.offset
+            if (out_th_ % cand == 0 and out_tw_ % cand == 0
+                    and (cfg.input_tile_step_h * cfg.scale) % cand == 0
+                    and (cfg.input_tile_step_w * cfg.scale) % cand == 0):
+                ps = cand
             ps_model = dataclasses.replace(model, pre_shuffle_output=True)
             apply_key = self._apply_key + ("ps",)
 

@@ -5,30 +5,31 @@ answer to the reference's acceptance protocol for new waifu2x models
 (PSNR vs the catrom baseline under the benchmark CLI, reference
 waifu2x/docs/training.md:131-147 and waifu2x/benchmark.py) at a FLOP
 budget that clears the 30 fps 1080p->4K bar on one v5e — swin_unet_2x
-is ~7 TFLOP/frame (~28 fps at 100% MXU, measured floor 7-9 fps in
-bf16); turbo_2x is ~2.5 TFLOP/frame of pure dense 3x3 convolutions,
-the single best-mapping op family for the MXU.
+is ~7 TFLOP/frame (~28 fps at 100% bf16 MXU, measured floor 7-9 fps);
+turbo_2x is ~2.5 TFLOP/frame of pure dense 3x3 convolutions, the single
+best-mapping op family for the MXU.
 
-Design (every choice is an MXU/HBM argument):
+Design (every choice is an MXU/HBM argument; measured numbers from
+tools/profile_waifu2x.py BENCH_ARCH=waifu2x.turbo_2x on v5e):
 
-- **Half-resolution body via space-to-depth**: the stem folds the input
-  2x2 -> 12 channels, so all body convs run at (H/2, W/2) with C=128 —
-  one full 128-lane tile, 4x fewer positions per conv at equal FLOPs,
-  and the im2col GEMM (K=1152, N=128) tiles the systolic array exactly.
-- **Wide residual blocks, no attention, no normalization**: conv(3x3) ->
-  relu -> conv(3x3) + skip.  Normalization-free scaled residuals (the
-  second conv of each block is zero-init) keep activations bounded
-  without LayerNorm's VPU lane reductions.
-- **Global catrom residual**: the output is catrom_2x(x) + net(x), with
-  the net's tail zero-initialized — an untrained turbo_2x IS the catrom
-  baseline (PSNR >= baseline from step 0, training only adds detail).
-  The catrom upscale itself is a fixed polyphase 4x4 conv producing the
-  2x2 subpixels as channels, i.e. it is computed directly in the
-  pre-shuffle layout with no (2H, 2W) fp32 intermediate.
-- **Pre-shuffle output contract**: emits (H, W, 12) when
-  ``pre_shuffle_output`` is set, so TiledRenderer blends + quantizes in
-  the head layout and the layout-hostile 3-channel-minor subpixel
-  reorder happens once on uint8 (utils/tiling.py ps fast path).
+- **Nothing full-resolution exists anywhere.**  The stem is a 6x6
+  stride-2 conv (mathematically identical to space-to-depth + 3x3, but
+  with no (H, W) relayout: the v1 s2d reshape alone profiled 10.8
+  ms/frame).  The catrom 2x base is a FIXED 6x6 stride-2 conv emitting
+  all 16 output subpixels of each half-res cell as channels.  Body,
+  base, tail and the residual add all live at (H/2, W/2, {128, 48});
+  the only full-res tensor is the final uint8 frame, produced by ONE
+  subpixel reorder after quantization (i2i_ps_factor=4 head contract,
+  utils/tiling.py ps fast path).
+- **Half-resolution body, C=128**: one full 128-lane tile; each body
+  conv is an im2col GEMM (K=1152, N=128) that tiles the systolic array
+  exactly — profiled 0.85 ms/conv = ~180 TFLOP/s bf16 (~90% MXU).
+- **Wide residual blocks, no attention, no normalization**: conv(3x3)
+  -> relu -> conv(3x3) + skip, second conv zero-init (identity at init,
+  normalization-free stability without LayerNorm's lane reductions).
+- **Global catrom residual with a zero-init tail**: an untrained
+  turbo_2x IS the catrom baseline exactly (PSNR >= baseline from step
+  0, training only adds detail).
 
 The I2I contract (scale=2, offset=16, blend=8) matches swin_unet_2x so
 every runtime path (tiling, TTA, alpha, web, CLI) works unchanged.
@@ -44,47 +45,45 @@ from ...models import I2IBaseModel, register_model
 from ...modules.permute import pixel_shuffle
 
 
-def _catrom_phase_weights():
-    """Catmull-Rom 4-tap weights for the two 2x-upscale phases.
-
-    align_corners=False: output j maps to input j/2 - 0.25; even outputs
-    sample at -0.25 (taps i-2..i+1), odd at +0.25 (taps i-1..i+2).
-    """
-    def w(d, a=-0.5):
-        d = abs(d)
-        if d < 1.0:
-            return (a + 2) * d ** 3 - (a + 3) * d ** 2 + 1
-        if d < 2.0:
-            return a * d ** 3 - 5 * a * d ** 2 + 8 * a * d - 4 * a
-        return 0.0
-
-    # both phases expressed on the common tap window i-2..i+1 shifted so a
-    # single 4x4 conv serves both: phase 0 taps (i-2..i+1) at distances
-    # (1.75, .75, .25, 1.25), phase 1 taps (i-1..i+2) -> window i-1..i+2
-    p0 = np.array([w(1.75), w(0.75), w(0.25), w(1.25)], np.float32)
-    p1 = np.array([w(1.25), w(0.25), w(0.75), w(1.75)], np.float32)
-    return p0, p1
+def _catrom_w(d, a=-0.5):
+    d = abs(d)
+    if d < 1.0:
+        return (a + 2) * d ** 3 - (a + 3) * d ** 2 + 1
+    if d < 2.0:
+        return a * d ** 3 - 5 * a * d ** 2 + 8 * a * d - 4 * a
+    return 0.0
 
 
-def catrom2x_preshuffle_kernel(channels: int = 3) -> np.ndarray:
-    """Fixed (5, 5, C, 4*C) conv kernel computing the catrom 2x upscale
-    directly in pixel-shuffle layout: out[..., c*4 + dy*2 + dx] is the
-    (2i+dy, 2j+dx) subpixel of channel c (the channel-major [C, r, r]
-    ordering pixel_shuffle and the renderer's ps fast path expect).
+def catrom2x_phase_taps():
+    """(4, 6) matrix: weight of full-res tap row (2i-2+k), k=0..5, for
+    output row 4i+r, r=0..3 (align_corners=False: output j samples input
+    j/2 - 0.25, so the 4 phases sit at 2i + {-0.25, 0.25, 0.75, 1.25} —
+    all taps inside the 6-row window)."""
+    m = np.zeros((4, 6), np.float32)
+    for r in range(4):
+        pos = r / 2.0 - 0.25  # relative to 2i, in full-res rows
+        for k in range(6):
+            m[r, k] = _catrom_w(pos - (k - 2))
+    return m
 
-    A 5x5 window centered at (i, j) covers both phases' 4-tap windows
-    (rows/cols i-2..i+2); each phase uses 4 of the 5 taps.
-    """
-    p0, p1 = _catrom_phase_weights()
-    k5 = {0: np.concatenate([p0, [0.0]]),      # taps i-2..i+1
-          1: np.concatenate([[0.0], p1])}      # taps i-1..i+2
-    k = np.zeros((5, 5, channels, 4 * channels), np.float32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            kk = np.outer(k5[dy], k5[dx])      # (5, 5)
+
+def catrom2x_halfres_kernel(channels: int = 3) -> np.ndarray:
+    """Fixed (6, 6, C, 16*C) stride-2 conv kernel: the catrom 2x upscale
+    with each half-res cell's 4x4 output subpixels as channels
+    (channel-major c*16 + ry*4 + rx — the [C, r, r] ordering
+    pixel_shuffle and the renderer's ps fast path expect)."""
+    taps = catrom2x_phase_taps()
+    k = np.zeros((6, 6, channels, 16 * channels), np.float32)
+    for ry in range(4):
+        for rx in range(4):
+            kk = np.outer(taps[ry], taps[rx])  # (6, 6)
             for c in range(channels):
-                k[:, :, c, c * 4 + dy * 2 + dx] = kk
+                k[:, :, c, c * 16 + ry * 4 + rx] = kk
     return k
+
+
+# stride-2 6x6 window covering full-res rows 2i-2 .. 2i+3
+_STRIDE2_PAD = ((2, 3), (2, 3))
 
 
 class _TurboBody(nn.Module):
@@ -108,7 +107,7 @@ class _TurboBody(nn.Module):
 
 @register_model
 class Turbo2x(I2IBaseModel):
-    """2x SR: catrom polyphase base + half-resolution residual CNN."""
+    """2x SR: fixed half-res catrom base + half-res residual CNN."""
     model_name = "waifu2x.turbo_2x"
     in_channels: int = 3
     out_channels: int = 3
@@ -119,10 +118,10 @@ class Turbo2x(I2IBaseModel):
     i2i_scale = 2
     i2i_offset = 16
     i2i_blend_size = 8
+    i2i_ps_factor = 4  # head layout is (H/2, W/2, C*16), not (H, W, C*4)
     i2i_default_tile_size = 256
     i2i_default_batch_size = 8
-    # space-to-depth stem needs even tiles; offset 16 (8 input px) needs
-    # nothing further
+    # stride-2 stem needs even tiles
     i2i_tile_constraints = ((2, 0),)
 
     @nn.compact
@@ -130,30 +129,24 @@ class Turbo2x(I2IBaseModel):
         B, H, W, C = x.shape
         dt = x.dtype
 
-        # fixed catrom 2x base in pre-shuffle layout (H, W, 4*C)
-        base_k = jnp.asarray(catrom2x_preshuffle_kernel(C), dt)
+        # fixed catrom 2x base: (H/2, W/2, 16*C), all subpixels as channels
+        base_k = jnp.asarray(catrom2x_halfres_kernel(C), dt)
         base = jax.lax.conv_general_dilated(
-            x, base_k, window_strides=(1, 1), padding="SAME",
+            x, base_k, window_strides=(2, 2), padding=_STRIDE2_PAD,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-        # body at (H/2, W/2): space-to-depth stem
-        f = x.reshape(B, H // 2, 2, W // 2, 2, C)
-        f = f.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
-        h = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=dt,
-                    name="stem")(f)
+        # learned path, entirely at (H/2, W/2)
+        h = nn.Conv(self.dim, (6, 6), strides=(2, 2), padding=_STRIDE2_PAD,
+                    dtype=dt, name="stem")(x)
         h = _TurboBody(self.dim, self.blocks, name="body")(h)
-        # tail: 16 subpixels * C channels, zero-init => catrom at init
         tail = nn.Conv(16 * C, (3, 3), padding="SAME", dtype=dt,
                        kernel_init=nn.initializers.zeros, name="tail")(h)
-        # (H/2, W/2, 16C) -> (H, W, 4C): one cheap channel-major shuffle
-        # into the same pre-shuffle layout as `base`
-        tail = pixel_shuffle(tail, 2)
 
         y = base + tail
-        off = self.i2i_offset // 2  # offset in pre-shuffle (H, W) units
-        y = y[:, off:H - off, off:W - off, :]
+        off = self.i2i_offset // 4  # offset (output px) in half-res units
+        y = y[:, off:H // 2 - off, off:W // 2 - off, :]
         if not train:
             y = jnp.clip(y.astype(jnp.float32), 0.0, 1.0)
         if self.pre_shuffle_output:
             return y
-        return pixel_shuffle(y, 2)
+        return pixel_shuffle(y, 4)

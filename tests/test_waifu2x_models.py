@@ -272,8 +272,10 @@ class TestTurbo2x:
         y = m.apply({"params": params}, x, train=False)
         yps = dataclasses.replace(m, pre_shuffle_output=True).apply(
             {"params": params}, x, train=False)
-        assert yps.shape == (1, 48, 48, 12)
-        np.testing.assert_allclose(np.asarray(pixel_shuffle(yps, 2)),
+        # ps factor 4: the head layout is half-res with all 16 subpixels
+        # as channels — nothing full-resolution before the uint8 shuffle
+        assert yps.shape == (1, 24, 24, 48)
+        np.testing.assert_allclose(np.asarray(pixel_shuffle(yps, 4)),
                                    np.asarray(y), atol=1e-6)
 
     def test_tiled_render_matches_whole(self):

@@ -30,10 +30,12 @@ def main():
     from nunif_tpu.utils import TiledRenderer
     import nunif_tpu.waifu2x  # noqa: F401
 
-    model = create_model("waifu2x.swin_unet_2x")
+    arch = os.environ.get("BENCH_ARCH", "waifu2x.swin_unet_2x")
+    model = create_model(arch)
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
-    prog = renderer.frame_program(1080, 1920, 3, tile_size=(1120, 1936),
+    tile = ((1096, 1936) if arch == "waifu2x.turbo_2x" else (1120, 1936))
+    prog = renderer.frame_program(1080, 1920, 3, tile_size=tile,
                                   batch_size=1)
     cksum = jax.jit(lambda y: jnp.sum(y.astype(jnp.uint32)))
     rng = np.random.default_rng(0)

@@ -38,14 +38,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import jax.numpy as jnp  # noqa: E402
 
 
-def _warm_waifu2x(frame_batch=1):
+def _warm_waifu2x(frame_batch=1, arch="waifu2x.swin_unet_2x"):
     from nunif_tpu.models import create_model
     from nunif_tpu.utils import TiledRenderer
     import nunif_tpu.waifu2x  # noqa: F401
-    model = create_model("waifu2x.swin_unet_2x")
+    model = create_model(arch)
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
-    prog = renderer.frame_program(1080, 1920, 3, tile_size=(1120, 1936),
+    tile = (1096, 1936) if arch == "waifu2x.turbo_2x" else (1120, 1936)
+    prog = renderer.frame_program(1080, 1920, 3, tile_size=tile,
                                   batch_size=1, frame_batch=frame_batch)
     shape = (frame_batch, 1080, 1920, 3) if frame_batch > 1 \
         else (1080, 1920, 3)
@@ -82,6 +83,8 @@ CONFIGS = {
     "iw3": lambda: _warm_iw3(8),
     "iw3_32": lambda: _warm_iw3(32),
     "iw3_vda": lambda: _warm_iw3_vda(8),
+    "turbo": lambda: _warm_waifu2x(1, arch="waifu2x.turbo_2x"),
+    "turbo4": lambda: _warm_waifu2x(4, arch="waifu2x.turbo_2x"),
 }
 
 
