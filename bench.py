@@ -274,13 +274,9 @@ def bench_iw3_vda():
             xp = vda_preprocess(x, depth_model.prep_lower_bound,
                                 depth_model.metric_depth,
                                 limit_resolution=depth_model.limit_resolution)
-
-            def body(c, frame):
-                out, nc = model.apply(
-                    {"params": dparams},
-                    frame.astype(jnp.bfloat16)[None, None], caches=c)
-                return nc, out[0, 0].astype(jnp.float32)
-            caches, outs = jax.lax.scan(body, caches, xp)
+            scan_core = depth_model._scan_fn(
+                int(xp.shape[1]), int(xp.shape[2]), int(xp.shape[0]))
+            outs, caches = scan_core(dparams, xp, caches)
             d = vda_postprocess(outs, edge_dilation=0,
                                 metric_depth=depth_model.metric_depth,
                                 force_disparity=depth_model.force_disparity)
@@ -357,14 +353,20 @@ def main():
     from nunif_tpu.utils import TiledRenderer
     import nunif_tpu.waifu2x  # noqa: F401
 
-    model = create_model("waifu2x.swin_unet_2x")
+    # BENCH_ARCH selects the 2x model: the reference-parity swin_unet_2x
+    # (default) or the TPU-native turbo_2x (see waifu2x/models/turbo.py)
+    arch = os.environ.get("BENCH_ARCH", "waifu2x.swin_unet_2x")
+    model = create_model(arch)
     params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
 
     # single full-frame tile: (1120, 1936) covers 1080p in ONE tile at
     # 1.046x pixel coverage (measured 2.449 fps vs 2.41 for the 592x1936
-    # two-tile grid; 1120 % 48 == 16 keeps it a valid swin tile)
-    tile_env = os.environ.get("BENCH_TILE", "1120x1936")
+    # two-tile grid; 1120 % 48 == 16 keeps it a valid swin tile).
+    # turbo_2x only needs even tiles: (1096, 1936) is exact-fit 1080p+pad.
+    default_tile = ("1096x1936" if arch == "waifu2x.turbo_2x"
+                    else "1120x1936")
+    tile_env = os.environ.get("BENCH_TILE", default_tile)
     if "x" in tile_env:
         th, tw = tile_env.split("x")
         tile_size = (int(th), int(tw))
@@ -453,7 +455,7 @@ def main():
 
     baseline_fps = 30.0  # real-time bar from BASELINE.md north star
     print(json.dumps({
-        "metric": "waifu2x_swin_unet_2x_1080p_to_4k_fps",
+        "metric": f"waifu2x_{arch.split('.', 1)[1]}_1080p_to_4k_fps",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline_fps, 3),

@@ -180,3 +180,45 @@ def test_metric_variant_postprocess():
     out = m.infer(x)
     assert bool(jnp.all(jnp.isfinite(out)))
     assert bool(jnp.all(out > 0))  # disparity = 1/(depth+0.1) > 0
+
+
+def test_staged_scan_matches_per_frame_steps():
+    """The batched-stages + scanned-motions program
+    (VideoDepthAnythingStreamingModel._scan_fn) must produce the same
+    outputs and caches as the per-frame whole-model streaming step — the
+    recurrence semantics are identical, only the batching of the
+    per-frame-independent work differs."""
+    model, params = _tiny(num_frames=3)
+    params = _perturb_motion(params)
+    T, H, W = 5, 28, 28
+    frames = jax.random.uniform(jax.random.PRNGKey(9), (T, H, W, 3),
+                                jnp.float32)
+
+    # reference: the original per-frame step
+    caches = model.init_caches(1, H, W, dtype=jnp.float32)
+    want = []
+    for t in range(T):
+        out, caches = model.apply({"params": params},
+                                  frames[t][None, None].astype(jnp.float32),
+                                  caches=caches)
+        want.append(np.asarray(out[0, 0], np.float32))
+    want = np.stack(want)
+
+    # staged scan via the wrapper's program builder
+    wrapper = VideoDepthAnythingStreamingModel.__new__(
+        VideoDepthAnythingStreamingModel)
+    wrapper.model = model
+    wrapper._jit_cache = {}
+    run = wrapper._scan_fn(H, W, T)
+    caches0 = model.init_caches(1, H, W, dtype=jnp.float32)
+    got, got_caches = run(params, frames, caches0)
+    got = np.asarray(got, np.float32).reshape(want.shape)
+
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-4)
+    ref_caches = caches
+    for i in range(4):
+        assert int(got_caches[i]["n"]) == int(ref_caches[i]["n"])
+        np.testing.assert_allclose(
+            np.asarray(got_caches[i]["ring1"], np.float32),
+            np.asarray(ref_caches[i]["ring1"], np.float32),
+            rtol=2e-2, atol=2e-4)
