@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax.numpy as jnp
 import optax
 
 
@@ -25,8 +26,11 @@ def multistep_lr(base_lr: float, milestones_epochs: Sequence[int],
     milestones = sorted(milestones_epochs)
 
     def fn(step):
+        # trace-safe: optax calls the schedule with a TRACED count inside
+        # the jitted update — no Python bool/math on `step`
         epoch = step // steps_per_epoch
-        k = sum(1 for m in milestones if epoch >= m)
+        k = sum((epoch >= m).astype(jnp.int32) if hasattr(epoch, "aval")
+                else int(epoch >= m) for m in milestones)
         return base_lr * (gamma ** k)
     return fn
 
@@ -37,16 +41,22 @@ def cosine_warm_restarts(base_lr: float, t_0_epochs: int, steps_per_epoch: int,
     t0 = max(1, t_0_epochs * steps_per_epoch)
 
     def fn(step):
+        # trace-safe: jnp math only (optax traces the schedule; math.cos
+        # on a traced count raised ConcretizationTypeError on the first
+        # real cosine training run)
         if t_mult == 1:
             t_cur = step % t0
             t_i = t0
         else:
-            # find current restart cycle
-            n = int(math.log(max(step / t0 * (t_mult - 1) + 1, 1), t_mult))
-            t_start = t0 * (t_mult ** n - 1) // (t_mult - 1)
+            # current restart cycle, computed with jnp so it traces
+            n = jnp.floor(
+                jnp.log(jnp.maximum(step / t0 * (t_mult - 1) + 1, 1))
+                / math.log(t_mult))
+            t_start = t0 * (t_mult ** n - 1) / (t_mult - 1)
             t_i = t0 * t_mult ** n
             t_cur = step - t_start
-        return eta_min + (base_lr - eta_min) * (1 + math.cos(math.pi * t_cur / t_i)) / 2
+        return eta_min + (base_lr - eta_min) * (
+            1 + jnp.cos(math.pi * t_cur / t_i)) / 2
     return fn
 
 
@@ -56,7 +66,8 @@ def with_warmup(schedule_fn, warmup_steps: int, init_scale: float = 1e-8):
         base = schedule_fn(step)
         if warmup_steps <= 0:
             return base
-        warm = min(1.0, init_scale + (1 - init_scale) * (step / warmup_steps))
+        warm = jnp.minimum(
+            1.0, init_scale + (1 - init_scale) * (step / warmup_steps))
         return base * warm
     return fn
 

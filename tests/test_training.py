@@ -249,3 +249,22 @@ def test_waifu2x_dataset_batches_with_sampler():
     assert batches and all("index" in b for b in batches)
     idx = np.concatenate([b["index"] for b in batches])
     assert idx.min() >= 0 and idx.max() < 16
+
+
+def test_schedules_trace_under_jit():
+    """optax calls the schedule with a TRACED count inside the jitted
+    update — every schedule must trace (the first real cosine training
+    run hit ConcretizationTypeError from math.cos on a tracer)."""
+    import jax
+    from nunif_tpu.training.schedules import build_schedule
+
+    for name, kw in (("none", {}), ("step", {}),
+                     ("multistep", {"milestones": [1, 3]}),
+                     ("cosine", {}), ("cosine", {"t_mult": 2}),
+                     ("cosine", {"warmup_epochs": 1})):
+        sched = build_schedule(name, 1e-3, 10, **kw)
+        v = jax.jit(sched)(jnp.asarray(25))
+        assert np.isfinite(float(v)) and 0 <= float(v) <= 1e-3 * 1.001, \
+            (name, kw)
+        # host eval with a plain int must agree
+        np.testing.assert_allclose(float(v), float(sched(25)), rtol=1e-6)
