@@ -356,8 +356,18 @@ def main():
     # BENCH_ARCH selects the 2x model: the reference-parity swin_unet_2x
     # (default) or the TPU-native turbo_2x (see waifu2x/models/turbo.py)
     arch = os.environ.get("BENCH_ARCH", "waifu2x.swin_unet_2x")
-    model = create_model(arch)
-    params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    # use the shipped trained checkpoint when one exists for the arch
+    # (identical compute either way — convs don't care about weight
+    # values — but the number then describes the exact deployed model)
+    ckpt = {"waifu2x.turbo_2x": "models/waifu2x/turbo/scale2x.nztm"}.get(arch)
+    if ckpt and os.path.exists(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ckpt)):
+        from nunif_tpu.models.io import load_model as load_ckpt
+        model, params, _ = load_ckpt(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ckpt))
+    else:
+        model = create_model(arch)
+        params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
     renderer = TiledRenderer(model, params)
 
     # single full-frame tile: (1120, 1936) covers 1080p in ONE tile at

@@ -113,7 +113,8 @@ def train_main(args):
     cfg = TrainerConfig(
         model_dir=args.model_dir, max_epoch=args.max_epoch,
         optimizer=args.optimizer, learning_rate=args.learning_rate,
-        seed=args.seed, resume=args.resume,
+        seed=args.seed,
+        steps_per_dispatch=getattr(args, 'steps_per_dispatch', 1), resume=args.resume,
         checkpoint_name=arch.replace(".", "_"))
     trainer = Trainer(cfg, model, params, loss_fn, eval_fn,
                       steps_per_epoch=args.num_samples // args.batch_size)

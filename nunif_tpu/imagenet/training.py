@@ -103,7 +103,8 @@ def train_main(args):
         model_dir=args.model_dir, max_epoch=args.max_epoch,
         optimizer=args.optimizer, learning_rate=args.learning_rate,
         weight_decay=args.weight_decay, scheduler=args.scheduler,
-        seed=args.seed, resume=args.resume,
+        seed=args.seed,
+        steps_per_dispatch=getattr(args, 'steps_per_dispatch', 1), resume=args.resume,
         checkpoint_name=args.arch.replace(".", "_"))
 
     # vgg11's FrozenBatchNorm stores running stats as params the jitted

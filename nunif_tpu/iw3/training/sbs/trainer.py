@@ -93,6 +93,7 @@ def train_main(args):
         model_dir=args.model_dir, max_epoch=args.max_epoch,
         optimizer=args.optimizer, learning_rate=args.learning_rate,
         scheduler=args.scheduler, seed=args.seed, resume=args.resume,
+        steps_per_dispatch=getattr(args, 'steps_per_dispatch', 1),
         ema_decay=args.ema_decay,
         checkpoint_name=args.arch.replace(".", "_"))
     trainer = Trainer(cfg, model, params, loss_fn, eval_fn,

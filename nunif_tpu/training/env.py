@@ -36,6 +36,11 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, tx: optax.GradientTransformation, use_ema=False):
+        # private copy: the jitted step donates the state, which DELETES
+        # its input buffers — without the copy, the caller's params tree
+        # (often reused to build another Trainer / renderer) would die on
+        # the first step
+        params = jax.tree_util.tree_map(jnp.array, params)
         return cls(
             params=params,
             opt_state=tx.init(params),
@@ -47,14 +52,28 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
                     *, accum_steps: int = 1, ema_decay: Optional[float] = None,
-                    donate: bool = True):
+                    donate: bool = True, steps_per_dispatch: int = 1):
     """Build the jitted train step.
 
     loss_fn(params, batch, rng) -> (scalar loss, aux dict)
     batch: pytree whose leaves have leading dim = accum_steps * microbatch
            when accum_steps > 1.
     returns step(state, batch, rng) -> (state, metrics)
-    """
+
+    steps_per_dispatch > 1: returns step(state, batches, rng) where each
+    ``batches`` leaf has an extra leading dim of that length, and the
+    whole group of optimizer steps runs as ONE device program
+    (``lax.scan`` over the per-batch step).  This is the training
+    counterpart of the renderer's device-side frame loop: on hosts where
+    each dispatch pays a long RPC/tunnel latency the per-step cost is
+    dominated by dispatch, not compute (measured ~0.6 s/dispatch on the
+    build harness — a 256-step epoch of a small SR model was 97%%
+    dispatch gap).  Metrics come back stacked with shape
+    (steps_per_dispatch,) so per-batch loss feedback (hard-example
+    mining) still sees every step.  The reference has no analogue: torch
+    eagerly enqueues ops so host latency overlaps compute
+    (reference nunif/training/env.py:168-206); under XLA the same
+    overlap must be expressed as a scanned program."""
 
     def grads_of(params, batch, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -82,8 +101,7 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         aux = jax.tree_util.tree_map(lambda a: a[-1], aux)
         return loss_sum / accum_steps, aux, grads
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: TrainState, batch, rng):
+    def step_impl(state: TrainState, batch, rng):
         loss, aux, grads = accumulate(state.params, batch, rng)
         finite = jnp.isfinite(loss)
 
@@ -111,7 +129,21 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         metrics.update(aux)
         return new_state, metrics
 
-    return step
+    donate_args = (0,) if donate else ()
+    if steps_per_dispatch <= 1:
+        return partial(jax.jit, donate_argnums=donate_args)(step_impl)
+
+    @partial(jax.jit, donate_argnums=donate_args)
+    def multi_step(state: TrainState, batches, rng):
+        rngs = jax.random.split(rng, steps_per_dispatch)
+
+        def body(st, inp):
+            b, r = inp
+            return step_impl(st, b, r)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return multi_step
 
 
 def make_eval_step(metric_fn: Callable):

@@ -75,6 +75,10 @@ class TrainerConfig:
     scheduler: str = "none"
     scheduler_kw: dict = dataclasses.field(default_factory=dict)
     accum_steps: int = 1          # reference --backward-step
+    # optimizer steps fused into one device program per dispatch
+    # (env.make_train_step steps_per_dispatch — amortizes host dispatch
+    # latency; 1 = a dispatch per batch like the reference's train loop)
+    steps_per_dispatch: int = 1
     ema_decay: Optional[float] = None
     seed: int = 71
     nan_limit: int = 100          # reference env.py tolerate <=100 NaNs
@@ -131,6 +135,12 @@ class Trainer:
         self.train_step = make_train_step(
             loss_fn, self.tx, accum_steps=cfg.accum_steps,
             ema_decay=cfg.ema_decay)
+        self.train_step_multi = None
+        if cfg.steps_per_dispatch > 1:
+            self.train_step_multi = make_train_step(
+                loss_fn, self.tx, accum_steps=cfg.accum_steps,
+                ema_decay=cfg.ema_decay,
+                steps_per_dispatch=cfg.steps_per_dispatch)
         self.eval_step = make_eval_step(eval_fn) if eval_fn else None
 
         self.last_epoch = 0
@@ -190,22 +200,51 @@ class Trainer:
         548 — batch losses written to each index, weights recomputed per
         epoch)."""
         cfg = self.cfg
+        k = cfg.steps_per_dispatch if self.train_step_multi is not None else 1
         for epoch in range(self.last_epoch, cfg.max_epoch):
             t0 = time.time()
-            losses = []
+            losses = []   # one entry per dispatch: scalar or (group,) array
             batch_indexes = []
+            group = []
+
+            def flush(group):
+                if len(group) == k and k > 1:
+                    # full group: ONE device program runs k optimizer steps
+                    batches = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *group)
+                    if self.mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec
+                        s = NamedSharding(self.mesh,
+                                          PartitionSpec(None, "dp"))
+                        batches = jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x, s), batches)
+                    self.state, metrics = self.train_step_multi(
+                        self.state, batches, self.rng.next())
+                    losses.append(metrics["loss"])  # (k,)
+                else:
+                    # remainder (or k == 1): per-batch jitted step
+                    for b in group:
+                        if self.mesh is not None:
+                            from ..parallel.mesh import shard_batch
+                            b = shard_batch(self.mesh, b)
+                        self.state, metrics = self.train_step(
+                            self.state, b, self.rng.next())
+                        losses.append(metrics["loss"])
+
             for batch in train_loader_fn():
                 if isinstance(batch, dict) and "index" in batch:
                     batch = dict(batch)
                     batch_indexes.append(batch.pop("index"))
-                if self.mesh is not None:
-                    from ..parallel.mesh import shard_batch
-                    batch = shard_batch(self.mesh, batch)
-                self.state, metrics = self.train_step(
-                    self.state, batch, self.rng.next())
-                losses.append(metrics["loss"])
-            # one sync per epoch
-            losses = [float(v) for v in jax.device_get(losses)]
+                group.append(batch)
+                if len(group) == k:
+                    flush(group)
+                    group = []
+            flush(group)
+            # one sync per epoch; flatten per-dispatch entries to per-step
+            losses = list(np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in jax.device_get(losses)]
+            )) if losses else []
+            losses = [float(v) for v in losses]
             if hard_sampler is not None and batch_indexes:
                 for idx, loss in zip(batch_indexes, losses):
                     hard_sampler.update_losses(

@@ -199,6 +199,7 @@ class Waifu2xTrainerApp:
             weight_decay=args.weight_decay, scheduler=args.scheduler,
             accum_steps=args.backward_steps, ema_decay=args.ema_decay,
             seed=args.seed, resume=args.resume,
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
             checkpoint_name=args.arch.replace(".", "_"))
         self.trainer = Trainer(cfg, self.model, self.params, loss_fn,
                                eval_fn,

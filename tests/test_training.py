@@ -268,3 +268,47 @@ def test_schedules_trace_under_jit():
             (name, kw)
         # host eval with a plain int must agree
         np.testing.assert_allclose(float(v), float(sched(25)), rtol=1e-6)
+
+
+def test_steps_per_dispatch_equivalent(tmp_path):
+    """k optimizer steps fused into one scanned dispatch == k separate
+    dispatches (deterministic loss; remainder exercises the single-step
+    fallback path)."""
+    model = create_model("waifu2x.vgg_7")
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 16, 3))
+
+    rng = np.random.default_rng(7)
+    batches = [
+        {"x": rng.uniform(size=(2, 16, 16, 3)).astype(np.float32),
+         "y": rng.uniform(size=(2, 2, 2, 3)).astype(np.float32),
+         "index": np.array([2 * i, 2 * i + 1])}
+        for i in range(6)
+    ]
+
+    def loss_fn(p, batch, rng_key):
+        pred = model.apply({"params": p}, batch["x"], train=True)
+        return jnp.mean(jnp.abs(pred - batch["y"])), {}
+
+    def run(k):
+        cfg = TrainerConfig(model_dir=str(tmp_path / f"k{k}"), max_epoch=1,
+                            optimizer="adam", learning_rate=1e-3,
+                            steps_per_dispatch=k)
+        tr = Trainer(cfg, model, params, loss_fn, steps_per_epoch=6)
+        sampler = HardExampleSampler(12, method=MiningMethod.LINEAR)
+        tr.fit(lambda: [dict(b) for b in batches], hard_sampler=sampler)
+        return tr, sampler
+
+    tr1, s1 = run(1)
+    # k=4: one fused group of 4 + a 2-batch remainder through the
+    # single-step path
+    tr4, s4 = run(4)
+    flat1 = jax.tree_util.tree_leaves(tr1.state.params)
+    flat4 = jax.tree_util.tree_leaves(tr4.state.params)
+    for a, b in zip(flat1, flat4):
+        # scanned vs per-batch programs compile differently: f32
+        # reassociation through adam's rsqrt gives ~1e-4 rel drift
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
+    assert int(tr4.state.step) == 6
+    # per-step losses reached the sampler identically
+    np.testing.assert_allclose(s1.weights, s4.weights, rtol=1e-4)

@@ -27,6 +27,10 @@ def create_default_parser():
                    choices=["none", "step", "multistep", "cosine"])
     p.add_argument("--backward-steps", type=int, default=1,
                    help="gradient accumulation steps")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps fused into one device program "
+                        "(amortizes per-dispatch host latency; metrics and "
+                        "hard-example feedback are unchanged)")
     p.add_argument("--ema-decay", type=float, default=None)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=71)
