@@ -123,3 +123,23 @@ class TestFindMaskThreshold:
         depth = jnp.zeros((1, 64, 192, 1)).at[:, :, 96:, :].set(1.0)
         m = forward_nonwarp_mask(rgb, depth, divergence=10.0)
         assert float(m.sum()) > 0
+
+
+def test_make_eval_set_deterministic(tmp_path):
+    """tools/make_eval_set.py materializes the same 10 images every run
+    (the docs/waifu2x.md quality table is measured on this set)."""
+    import subprocess
+    import sys
+    import hashlib
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "tools", "make_eval_set.py")
+    digests = []
+    for sub in ("a", "b"):
+        out = tmp_path / sub
+        subprocess.run([sys.executable, script, "-o", str(out),
+                        "--size", "64"], check=True, cwd=root)
+        files = sorted(os.listdir(out))
+        assert len(files) == 10
+        digests.append([hashlib.md5((out / f).read_bytes()).hexdigest()
+                        for f in files])
+    assert digests[0] == digests[1]
