@@ -153,7 +153,13 @@ def _output_path(args, in_path):
 
 
 def _build_runtime(args) -> Waifu2x:
-    model_dir = args.model_dir or ""
+    model_dir = args.model_dir
+    if not model_dir:
+        # bundled TPU-native turbo zoo (see runtime.default_model_dir)
+        from .runtime import default_model_dir
+        model_dir = default_model_dir() or ""
+        if model_dir:
+            logger.info("using bundled model dir %s", model_dir)
     if model_dir and args.style:
         # reference selects the style sub-directory of the model zoo
         styled = os.path.join(model_dir, args.style)

@@ -28,6 +28,19 @@ from ..transforms.tta import tta_split, tta_merge
 
 METHODS = ("scale", "scale4x", "noise", "noise_scale", "noise_scale4x")
 
+
+def default_model_dir() -> Optional[str]:
+    """The bundled TPU-native model zoo (models/waifu2x/turbo at the repo
+    root): turbo_2x checkpoints trained past the catrom/lanczos baselines
+    under the reference's own acceptance protocol (docs/waifu2x.md).
+    Returns None when not present (e.g. bare package install) — the
+    reference equivalent is its downloaded pretrained dir
+    (reference waifu2x/utils.py:42-63)."""
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "models", "waifu2x", "turbo")
+    return d if os.path.isdir(d) else None
+
 # model-dir file stems, mirroring the reference naming convention
 _FILE_STEMS = {
     ("scale", None): "scale2x",
