@@ -7,7 +7,9 @@ Built on the stdlib ThreadingHTTPServer (the reference's bottle+waitress
 equivalents); device work is serialized behind a lock (one TPU program at
 a time, callers queue).
 
-Usage: python -m nunif_tpu.waifu2x.web --port 8812 --arch waifu2x.swin_unet_2x
+Usage: python -m nunif_tpu.waifu2x.web --port 8812
+(defaults to the bundled trained scale model; --model-file overrides,
+--arch <name> serves a random-init arch for load tests)
 """
 from __future__ import annotations
 
@@ -141,10 +143,19 @@ class Waifu2xWebService:
         from ..models.io import load_model
         from ..utils import TiledRenderer
         from . import models as _m  # noqa: F401
-        if self.args.model_file:
-            model, params, _ = load_model(self.args.model_file)
+        model_file = self.args.model_file
+        if not model_file and not self.args.arch:
+            # bundled TPU-native scale model (runtime.default_model_dir)
+            from .runtime import default_model_dir
+            d = default_model_dir()
+            cand = os.path.join(d, "scale2x.nztm") if d else None
+            if cand and os.path.exists(cand):
+                model_file = cand
+                logger.info("web: using bundled model %s", cand)
+        if model_file:
+            model, params, _ = load_model(model_file)
         else:
-            model = create_model(self.args.arch)
+            model = create_model(self.args.arch or "waifu2x.swin_unet_2x")
             params = model.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
             logger.warning("web: random init model (no --model-file); "
                            "structure/load-test use only")
@@ -355,7 +366,9 @@ def main(argv=None):
     p.add_argument("--bind", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8812)
     p.add_argument("--model-file", default=None)
-    p.add_argument("--arch", default="waifu2x.swin_unet_2x")
+    p.add_argument("--arch", default=None,
+                   help="random-init arch (load-test mode); default: "
+                        "bundled scale2x.nztm, else random swin_unet_2x")
     p.add_argument("--tile-size", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--noise-level", type=int, default=-1,
