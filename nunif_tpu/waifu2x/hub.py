@@ -22,7 +22,8 @@ DEFAULT_MODEL_ROOT = os.environ.get(
     os.path.join(os.path.expanduser("~"), ".cache", "nunif_tpu", "waifu2x"))
 
 MODEL_TYPES = ("art", "art_scan", "photo", "cunet/art", "swin_unet/art",
-               "swin_unet/photo", "upconv_7/art", "upconv_7/photo")
+               "swin_unet/photo", "upconv_7/art", "upconv_7/photo",
+               "turbo")  # bundled TPU-native trained models
 
 
 class Waifu2xImageModel:
@@ -37,6 +38,14 @@ class Waifu2xImageModel:
         self.noise_level = noise_level
         self.model_dir = model_dir or os.path.join(
             DEFAULT_MODEL_ROOT, model_type.replace("/", "_"))
+        if model_dir is None and not os.path.isdir(self.model_dir):
+            # bundled TPU-native trained zoo (runtime.default_model_dir):
+            # serves model_type "turbo" and is the fallback when the
+            # user's model root has nothing for the requested type
+            from .runtime import default_model_dir
+            bundled = default_model_dir()
+            if bundled is not None:
+                self.model_dir = bundled
         self.tile_size = tile_size
         self.batch_size = batch_size
         self.tta = tta
