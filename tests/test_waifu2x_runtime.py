@@ -76,3 +76,34 @@ def test_waifu2x_tta_convert(tmp_path):
     rgb, _ = w2x.convert(x, None, method="noise", noise_level=0,
                          tile_size=48, batch_size=2, tta=True)
     assert rgb.shape == (32, 32, 3)
+
+
+def test_shipped_turbo_checkpoint_beats_catrom():
+    """The bundled models/waifu2x/turbo/scale2x.nztm is the repo's
+    acceptance artifact (docs/waifu2x.md): it must load and beat the
+    catrom baseline PSNR on eval-set images (the reference's acceptance
+    protocol for a waifu2x model, reference waifu2x/docs/training.md:
+    131-147)."""
+    import os
+    from nunif_tpu.waifu2x.runtime import default_model_dir
+    from nunif_tpu.waifu2x.benchmark import _np_resize, psnr
+    from nunif_tpu.waifu2x.training import generators as G
+    from nunif_tpu.models.io import load_model
+    from nunif_tpu.utils.tiling import TiledRenderer
+
+    d = default_model_dir()
+    if d is None or not os.path.exists(os.path.join(d, "scale2x.nztm")):
+        pytest.skip("bundled checkpoint not present")
+    model, params, _ = load_model(os.path.join(d, "scale2x.nztm"))
+    renderer = TiledRenderer(model, params)
+
+    # two eval-set members (tools/make_eval_set.py SPEC seeds)
+    gains = []
+    for fn, seed in ((G.gen_text_image, 900005), (G.gen_shapes, 900007)):
+        hr = np.asarray(fn(size=128, seed=seed), np.float32)[..., :3] / 255.0
+        lr = _np_resize(hr, 64, 64)
+        sr = np.asarray(renderer.render(lr, tile_size=64, batch_size=1))
+        up = _np_resize(lr, 128, 128, mode="catrom", antialias=False)
+        gains.append(psnr(sr, hr) - psnr(up, hr))
+    # mean gain over the sampled images must be clearly positive
+    assert float(np.mean(gains)) > 0.1, gains
