@@ -7,7 +7,7 @@ from .swin_unet_v2 import (
     SwinUNet1xV2, SwinUNet2xV2, SwinUNet4xV2, SwinUNetV2Downscaled,
 )
 from .wgmlp import WGMLP4x
-from .turbo import Turbo2x
+from .turbo import Turbo2x, Turbo4x
 from .discriminator import (
     L3Discriminator, V1Discriminator, L3V1Discriminator,
     L3ConditionalDiscriminator, V1ConditionalDiscriminator,

@@ -54,31 +54,35 @@ def _catrom_w(d, a=-0.5):
     return 0.0
 
 
-def catrom2x_phase_taps():
-    """(4, 6) matrix: weight of full-res tap row (2i-2+k), k=0..5, for
-    output row 4i+r, r=0..3 (align_corners=False: output j samples input
-    j/2 - 0.25, so the 4 phases sit at 2i + {-0.25, 0.25, 0.75, 1.25} —
-    all taps inside the 6-row window)."""
-    m = np.zeros((4, 6), np.float32)
-    for r in range(4):
-        pos = r / 2.0 - 0.25  # relative to 2i, in full-res rows
+def catrom2x_phase_taps(scale: int = 2):
+    """(2*scale, 6) matrix: weight of full-res tap row (2i-2+k), k=0..5,
+    for output row 2*scale*i + r (align_corners=False: output j samples
+    input (j+0.5)/scale - 0.5; for scale=2 the 4 phases sit at
+    2i + {-0.25, 0.25, 0.75, 1.25} — all nonzero taps inside the 6-row
+    window for scale in {2, 4})."""
+    ph = 2 * scale
+    m = np.zeros((ph, 6), np.float32)
+    for r in range(ph):
+        pos = (r + 0.5) / scale - 0.5  # relative to 2i, in full-res rows
         for k in range(6):
             m[r, k] = _catrom_w(pos - (k - 2))
     return m
 
 
-def catrom2x_halfres_kernel(channels: int = 3) -> np.ndarray:
-    """Fixed (6, 6, C, 16*C) stride-2 conv kernel: the catrom 2x upscale
-    with each half-res cell's 4x4 output subpixels as channels
-    (channel-major c*16 + ry*4 + rx — the [C, r, r] ordering
-    pixel_shuffle and the renderer's ps fast path expect)."""
-    taps = catrom2x_phase_taps()
-    k = np.zeros((6, 6, channels, 16 * channels), np.float32)
-    for ry in range(4):
-        for rx in range(4):
+def catrom2x_halfres_kernel(channels: int = 3, scale: int = 2) -> np.ndarray:
+    """Fixed (6, 6, C, (2*scale)^2*C) stride-2 conv kernel: the catrom
+    `scale`x upscale with each half-res cell's (2*scale)^2 output
+    subpixels as channels (channel-major c*ph^2 + ry*ph + rx — the
+    [C, r, r] ordering pixel_shuffle and the renderer's ps fast path
+    expect)."""
+    taps = catrom2x_phase_taps(scale)
+    ph = 2 * scale
+    k = np.zeros((6, 6, channels, ph * ph * channels), np.float32)
+    for ry in range(ph):
+        for rx in range(ph):
             kk = np.outer(taps[ry], taps[rx])  # (6, 6)
             for c in range(channels):
-                k[:, :, c, c * 16 + ry * 4 + rx] = kk
+                k[:, :, c, c * ph * ph + ry * ph + rx] = kk
     return k
 
 
@@ -128,6 +132,8 @@ class Turbo2x(I2IBaseModel):
     def __call__(self, x, *, train: bool = False):
         B, H, W, C = x.shape
         dt = x.dtype
+        s = self.i2i_scale
+        ph = 2 * s  # output subpixels per half-res cell, per axis
 
         # fixed catrom 2x base: (H/2, W/2, 16*C), all subpixels as
         # channels.  Always fp32: under the bf16 policy the base path's
@@ -135,24 +141,45 @@ class Turbo2x(I2IBaseModel):
         # baseline it is supposed to START at (measured 33.31 vs 34.05
         # PSNR on the synthetic eval set), and this conv is ~0.2% of the
         # model's FLOPs so fp32 here costs nothing measurable.
-        base_k = jnp.asarray(catrom2x_halfres_kernel(C), jnp.float32)
+        base_k = jnp.asarray(catrom2x_halfres_kernel(C, s), jnp.float32)
+        # Precision.HIGHEST: jax's DEFAULT conv precision truncates f32
+        # operands to bf16 (measured ~3e-3 abs error on this very conv),
+        # which would put the bf16 floor right back under the base path
         base = jax.lax.conv_general_dilated(
             x.astype(jnp.float32), base_k, window_strides=(2, 2),
             padding=_STRIDE2_PAD,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
 
         # learned path, entirely at (H/2, W/2)
         h = nn.Conv(self.dim, (6, 6), strides=(2, 2), padding=_STRIDE2_PAD,
                     dtype=dt, name="stem")(x)
         h = _TurboBody(self.dim, self.blocks, name="body")(h)
-        tail = nn.Conv(16 * C, (3, 3), padding="SAME", dtype=dt,
+        tail = nn.Conv(ph * ph * C, (3, 3), padding="SAME", dtype=dt,
                        kernel_init=nn.initializers.zeros, name="tail")(h)
 
         y = base + tail.astype(jnp.float32)
-        off = self.i2i_offset // 4  # offset (output px) in half-res units
+        off = self.i2i_offset // ph  # offset (output px) in half-res units
         y = y[:, off:H // 2 - off, off:W // 2 - off, :]
         if not train:
             y = jnp.clip(y, 0.0, 1.0)
         if self.pre_shuffle_output:
             return y
-        return pixel_shuffle(y, 4)
+        return pixel_shuffle(y, ph)
+
+
+@register_model
+class Turbo4x(Turbo2x):
+    """4x SR, same design one octave up: the body still lives at
+    (H/2, W/2, dim) — identical FLOPs to turbo_2x per INPUT pixel — and
+    the fixed catrom 4x base / zero-init tail emit all 8x8 output
+    subpixels of each half-res cell as channels (i2i_ps_factor=8), so
+    nothing full-resolution exists before the single post-quantize
+    subpixel reorder.  Serves the reference's `--method scale4x` slot
+    (reference waifu2x/models/swin_unet.py swin_unet_4x) the TPU way."""
+    model_name = "waifu2x.turbo_4x"
+
+    i2i_scale = 4
+    i2i_offset = 32
+    i2i_blend_size = 16
+    i2i_ps_factor = 8

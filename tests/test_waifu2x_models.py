@@ -317,3 +317,59 @@ class TestTurbo2x:
         g = jax.grad(loss_fn)(params, x, jnp.zeros_like(out))
         gn = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree.leaves(g))
         assert np.isfinite(gn) and gn > 0
+
+
+class TestTurbo4x:
+    """turbo_4x: the same half-res design serving `--method scale4x`
+    (fixed catrom 4x base, 8x8 subpixels per half-res cell, ps factor 8)."""
+
+    def test_init_is_catrom_baseline(self):
+        from nunif_tpu.models import create_model
+        from nunif_tpu.modules.resize import resize
+
+        m = create_model("waifu2x.turbo_4x")
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0.1, 0.9, (2, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(m.apply({"params": params}, jnp.asarray(x),
+                                 train=False))
+        assert got.shape == (2, 192, 192, 3)  # 4*64 - 2*offset(32)
+        want = np.asarray(resize(jnp.asarray(x), 256, 256, mode="catrom",
+                                 antialias=False))
+        want = np.clip(want[:, 32:224, 32:224], 0, 1)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_pre_shuffle_layout(self):
+        import dataclasses
+        from nunif_tpu.models import create_model
+        from nunif_tpu.modules.permute import pixel_shuffle
+
+        m = create_model("waifu2x.turbo_4x", dim=16, blocks=1)
+        params = m.init_params(jax.random.PRNGKey(0), (1, 64, 64, 3))
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        y = m.apply({"params": params}, x, train=False)
+        yps = dataclasses.replace(m, pre_shuffle_output=True).apply(
+            {"params": params}, x, train=False)
+        assert yps.shape == (1, 24, 24, 192)
+        np.testing.assert_allclose(np.asarray(pixel_shuffle(yps, 8)),
+                                   np.asarray(y), atol=1e-6)
+
+    def test_tiled_render_matches_whole(self):
+        from nunif_tpu.models import create_model
+        from nunif_tpu.utils.tiling import TiledRenderer, simple_render
+        from nunif_tpu.core.dtypes import FP32_POLICY
+
+        m = create_model("waifu2x.turbo_4x", dim=16, blocks=1)
+        params = m.init_params(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        params = jax.tree.map(
+            lambda p: p + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(2), p.shape, p.dtype), params)
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1, (70, 90, 3)).astype(np.float32)
+        renderer = TiledRenderer(m, params, policy=FP32_POLICY)
+        got = np.asarray(renderer.render(x, tile_size=64, batch_size=2))
+        want = np.asarray(simple_render(x, m, params, policy=FP32_POLICY))
+        assert got.shape == want.shape == (280, 360, 3)
+        d = np.abs(got - want)
+        assert d.mean() < 2e-3 and np.median(d) < 1e-4
