@@ -12,8 +12,9 @@ the equivalent mechanism and this tool is its installer.
 
 Usage:
   python tools/warmup_cache.py [config ...]
-Configs (default: waifu2x iw3):
-  waifu2x    swin_unet_2x 1080p frame program (bench.py default)
+Configs (default: turbo iw3):
+  turbo      turbo_2x 1080p frame program (bench.py + CLI default model)
+  waifu2x    swin_unet_2x 1080p frame program (parity arch)
   waifu2x4   same, frame_batch=4
   iw3        Any_V2_S + row_flow_v3 batch-8 pipeline (bench.py default)
   iw3_32     the batch-32 deep-throughput config (long compile!)
@@ -89,7 +90,7 @@ CONFIGS = {
 
 
 def main():
-    names = sys.argv[1:] or ["waifu2x", "iw3"]
+    names = sys.argv[1:] or ["turbo", "iw3"]
     for name in names:
         if name not in CONFIGS:
             print(f"unknown config {name!r}; choose from "
